@@ -1,0 +1,252 @@
+"""Novelty-curve extraction (batched, streaming).
+
+TPU-native mirror of the reference ``features/period/novelty.rs``:
+SuperFlux (full-band + frequency sub-bands), energy flux, HFC, log-mel
+SuperFlux, and the weighted/conditioned combination.
+
+Architecture: instead of materializing spectrograms, a *reducer* plugged into
+``ops.stft.stft_reduce`` emits tiny per-frame features while the STFT streams
+through VMEM in chunks:
+
+* ``superflux``  [B, F, n_bands]  — max-filtered log-flux per band
+  (novelty.rs:336-455; band max filter clamped inside the band)
+* ``energy``     [B, F, n_bands]  — per-frame band energies (sum |X|^2)
+* ``hfc``        [B, F, n_bands]  — per-frame band HFC (sum k*|X|^2, absolute k)
+* ``mel``        [B, F, n_mels]   — HTK log-mel frames (novelty.rs:174-189)
+* ``onset_sflux``[B, F]           — per-frame-max-normalized spectral flux
+  used by the onset detector (onset/spectral_flux.rs:116-157)
+
+Index convention: flux-type features at frame f describe the transition
+(f-1 -> f); the reference's novelty curve value i corresponds to our frame
+f = i+1, so curves are the emitted arrays shifted left by one with valid
+count = frame_count - 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import AnalysisConfig
+from ...ops import masked
+from ...ops.stft import hz_to_bin, mel_filterbank_matrix, stft_reduce
+
+EPSILON = 1e-10
+
+
+def band_edges(cfg: AnalysisConfig, sample_rate: int, n_bins: int):
+    """(start, end) bin ranges for full/low/mid/high bands
+    (tempogram.rs:357-378). Returns a list of (name, start, end, weight)."""
+    fft_size = (n_bins - 1) * 2
+    fres = sample_rate / fft_size
+    b0 = min(1, n_bins - 1)
+    b_low = max(hz_to_bin(cfg.tempogram_band_low_max_hz, fres, n_bins), b0)
+    b_mid = max(hz_to_bin(cfg.tempogram_band_mid_max_hz, fres, n_bins), b_low + 1)
+    if cfg.tempogram_band_high_max_hz > 0.0:
+        b_hi = max(hz_to_bin(cfg.tempogram_band_high_max_hz, fres, n_bins), b_mid + 1)
+    else:
+        b_hi = n_bins
+    b_hi = min(b_hi, n_bins)
+    return [
+        ("full", 0, n_bins, cfg.tempogram_band_w_full),
+        ("low", b0, b_low, cfg.tempogram_band_w_low),
+        ("mid", b_low, b_mid, cfg.tempogram_band_w_mid),
+        ("high", b_mid, b_hi, cfg.tempogram_band_w_high),
+    ]
+
+
+def _superflux_step(log_prev: jax.Array, log_cur: jax.Array, k: int, start: int, end: int):
+    """SuperFlux value for one band over a chunk: sqrt(sum over band of
+    max(0, cur - maxfilt(prev))^2), max filter clamped inside [start, end)
+    (novelty.rs:359-375, 425-443)."""
+    prev = log_prev[..., start:end]
+    cur = log_cur[..., start:end]
+    prev_max = masked.max_pool_1d(prev, max(k, 1))
+    diff = jnp.maximum(cur - prev_max, 0.0)
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+
+def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
+    """Build the per-chunk reducer + carry init for the BPM spectral path."""
+    n_bins = frame_size // 2 + 1
+    bands = band_edges(cfg, sample_rate, n_bins)
+    use_bands = cfg.enable_tempogram_band_fusion
+    sf_k = max(cfg.tempogram_superflux_max_filter_bins, 1)
+    use_mel = cfg.enable_tempogram_mel_novelty
+    if use_mel:
+        mel_w = jnp.asarray(
+            mel_filterbank_matrix(
+                sample_rate,
+                n_bins,
+                cfg.tempogram_mel_n_mels,
+                cfg.tempogram_mel_fmin_hz,
+                cfg.tempogram_mel_fmax_hz,
+            )
+        )
+
+    active_bands = bands if use_bands else bands[:1]
+    bin_weights = jnp.arange(n_bins, dtype=jnp.float32)
+
+    def reducer(spec, fidx, fvalid, carry):
+        prev_frame = carry  # [B, K] previous raw magnitude frame
+        b, c, k = spec.shape
+        prev = jnp.concatenate([prev_frame[:, None, :], spec[:, :-1, :]], axis=1)
+
+        log_cur = jnp.log1p(jnp.maximum(spec, 0.0))
+        log_prev = jnp.log1p(jnp.maximum(prev, 0.0))
+
+        sf = jnp.stack(
+            [_superflux_step(log_prev, log_cur, sf_k, s, e) for (_, s, e, _) in active_bands],
+            axis=-1,
+        )  # [B, C, n_active_bands]
+
+        x2 = spec * spec
+        energy = jnp.stack(
+            [jnp.sum(x2[..., s:e], axis=-1) for (_, s, e, _) in active_bands], axis=-1
+        )
+        hfc = jnp.stack(
+            [jnp.sum(x2[..., s:e] * bin_weights[s:e], axis=-1) for (_, s, e, _) in active_bands],
+            axis=-1,
+        )
+
+        outs = {"superflux": sf, "energy": energy, "hfc": hfc}
+
+        if use_mel:
+            outs["mel"] = jnp.dot(log_cur, mel_w, preferred_element_type=jnp.float32)
+
+        # Onset spectral flux: per-frame max-normalize then HWR L2 diff
+        # (onset/spectral_flux.rs:116-157).
+        cur_max = jnp.max(spec, axis=-1, keepdims=True)
+        prev_max = jnp.max(prev, axis=-1, keepdims=True)
+        cur_n = jnp.where(cur_max > EPSILON, spec / jnp.maximum(cur_max, EPSILON), 0.0)
+        prev_n = jnp.where(prev_max > EPSILON, prev / jnp.maximum(prev_max, EPSILON), 0.0)
+        d = jnp.maximum(cur_n - prev_n, 0.0)
+        outs["onset_sflux"] = jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+        new_carry = spec[:, -1, :]
+        return outs, new_carry
+
+    def carry_init(b):
+        return jnp.zeros((b, n_bins), jnp.float32)
+
+    return reducer, carry_init, [name for (name, _, _, _) in active_bands]
+
+
+def compute_bpm_spectral_features(
+    samples: jax.Array,
+    lengths: jax.Array,
+    cfg: AnalysisConfig,
+    sample_rate: int,
+    frame_size: int,
+    hop: int,
+    chunk_frames: int = 512,
+):
+    """Run the streaming STFT over the batch and return per-frame features.
+
+    Returns (features dict, frame_counts [B], n_frames_padded).
+    """
+    reducer, carry_init, band_names = make_bpm_reducer(cfg, sample_rate, frame_size)
+    outs, nf_padded, frame_counts = stft_reduce(
+        samples, lengths, frame_size, hop, reducer, carry_init, chunk_frames=chunk_frames
+    )
+    outs["band_names"] = band_names
+    return outs, frame_counts, nf_padded
+
+
+def mel_superflux_from_frames(
+    mel_frames: jax.Array, nov_mask: jax.Array, max_filter_mels: int
+) -> jax.Array:
+    """SuperFlux in mel space from per-frame log-mel vectors
+    (novelty.rs:553-609). ``mel_frames`` is [B, F, M]; output novelty is
+    [B, F-1] aligned so value i = transition (i -> i+1)."""
+    k = max(max_filter_mels, 1)
+    prev = mel_frames[:, :-1, :]
+    cur = mel_frames[:, 1:, :]
+    prev_max = masked.max_pool_1d(prev, k)
+    d = jnp.maximum(cur - prev_max, 0.0)
+    flux = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    flux = jnp.where(nov_mask, flux, 0.0)
+    return masked.normalize_by_max(flux, nov_mask)
+
+
+def flux_from_values(values: jax.Array, nov_mask: jax.Array) -> jax.Array:
+    """HWR first difference, normalized: novelty[i] = max(0, v[i+1]-v[i])
+    (novelty.rs:517-544 energy, 744-767 hfc)."""
+    flux = jnp.maximum(values[:, 1:] - values[:, :-1], 0.0)
+    flux = jnp.where(nov_mask, flux, 0.0)
+    return masked.normalize_by_max(flux, nov_mask)
+
+
+def combined_novelty_with_params(
+    spectral: jax.Array,
+    energy: jax.Array,
+    hfc: jax.Array,
+    nov_mask: jax.Array,
+    w_spectral: float,
+    w_energy: float,
+    w_hfc: float,
+    local_mean_window: int,
+    smooth_window: int,
+) -> jax.Array:
+    """Weighted combination + conditioning (novelty.rs:874-932):
+    normalize -> local-mean subtract + HWR -> moving-average smooth ->
+    normalize."""
+    ws = max(w_spectral, 0.0)
+    we = max(w_energy, 0.0)
+    wh = max(w_hfc, 0.0)
+    wsum = max(ws + we + wh, EPSILON)
+    combined = (spectral * ws + energy * we + hfc * wh) / wsum
+    combined = jnp.where(nov_mask, combined, 0.0)
+    combined = masked.normalize_by_max(combined, nov_mask)
+    if local_mean_window > 1:
+        combined = masked.local_mean_subtract(combined, nov_mask, local_mean_window)
+    if smooth_window > 1:
+        combined = masked.moving_average(combined, nov_mask, smooth_window)
+    combined = jnp.where(nov_mask, combined, 0.0)
+    return masked.normalize_by_max(combined, nov_mask)
+
+
+def assemble_novelty_curves(
+    features: Dict[str, jax.Array],
+    frame_counts: jax.Array,
+    cfg: AnalysisConfig,
+) -> Tuple[Dict[str, jax.Array], jax.Array, jax.Array]:
+    """Assemble the tempogram novelty variants from streamed features.
+
+    Returns (curves dict name -> [B, N], nov_mask [B, N], n_valid [B]) where
+    N = n_frames_padded - 1 and n_valid = frame_counts - 1.
+    """
+    band_names = features["band_names"]
+    n_valid = jnp.maximum(frame_counts - 1, 0)
+    nf = features["superflux"].shape[1]
+    n = nf - 1
+    nov_mask = masked.length_mask(n_valid, n)
+
+    curves = {}
+    for bi, name in enumerate(band_names):
+        sf = features["superflux"][:, 1:, bi]
+        sf = masked.normalize_by_max(jnp.where(nov_mask, sf, 0.0), nov_mask)
+        en = flux_from_values(features["energy"][:, :, bi], nov_mask)
+        hf = flux_from_values(features["hfc"][:, :, bi], nov_mask)
+        curves[name] = combined_novelty_with_params(
+            sf,
+            en,
+            hf,
+            nov_mask,
+            cfg.tempogram_novelty_w_spectral,
+            cfg.tempogram_novelty_w_energy,
+            cfg.tempogram_novelty_w_hfc,
+            cfg.tempogram_novelty_local_mean_window,
+            cfg.tempogram_novelty_smooth_window,
+        )
+
+    if cfg.enable_tempogram_mel_novelty and "mel" in features:
+        curves["mel"] = mel_superflux_from_frames(
+            features["mel"], nov_mask, cfg.tempogram_mel_max_filter_bins
+        )
+
+    return curves, nov_mask, n_valid

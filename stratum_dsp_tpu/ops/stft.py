@@ -1,0 +1,219 @@
+"""Batched, chunked STFT frontend.
+
+TPU-native replacement for the reference's ``compute_stft``
+(``chroma/extractor.rs:301-359``): Hann window with ``(n-1)`` denominator,
+forward rFFT, magnitude of the first ``frame_size/2 + 1`` bins, frame count
+``(len - frame_size)/hop + 1``.
+
+Design notes (TPU-first):
+
+* Tracks are batched ``[B, T]`` with per-track ``lengths``; all shapes static.
+* A full 3-minute spectrogram (15k x 1025..4097 f32) does not need to live in
+  HBM: downstream consumers are per-frame *reductions* (novelty curves, band
+  energies, chroma). We therefore scan over **frame chunks**: each scan step
+  materializes only ``[B, chunk, K]`` magnitudes, applies a caller-provided
+  reducer, and emits small per-frame features. This keeps HBM traffic at the
+  streaming minimum and lets XLA pipeline FFT + reduction.
+* Frame extraction uses the ``frame_size % hop == 0`` layout trick: reshape
+  the sample region into hop-sized blocks and concatenate ``frame//hop``
+  *statically shifted* block slices — zero gathers, pure reshapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def num_frames(n_samples: int, frame_size: int, hop: int) -> int:
+    """Frame count for a signal of length n (extractor.rs:314)."""
+    if n_samples < frame_size:
+        return 0
+    return (n_samples - frame_size) // hop + 1
+
+
+def hann_window(frame_size: int, dtype=jnp.float32) -> jax.Array:
+    """Hann window with the reference's (n-1) denominator (extractor.rs:318-323)."""
+    i = np.arange(frame_size, dtype=np.float64)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * i / (frame_size - 1)))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def extract_frames(region: jax.Array, n_frames: int, frame_size: int, hop: int) -> jax.Array:
+    """Extract overlapping frames from ``region [B, L]`` where
+    ``L >= (n_frames-1)*hop + frame_size``. Returns ``[B, n_frames, frame_size]``.
+
+    Fast path requires ``frame_size % hop == 0`` (true for every config the
+    pipeline uses: 2048/512, 2048/256, 2048/1024, 8192/512).
+    """
+    b = region.shape[0]
+    if frame_size % hop == 0:
+        k = frame_size // hop
+        n_blocks = n_frames + k - 1
+        need = n_blocks * hop
+        region = region[:, :need]
+        blocks = region.reshape(b, n_blocks, hop)
+        parts = [blocks[:, j : j + n_frames, :] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+    # general gather fallback
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_size)[None, :]
+    return region[:, idx]
+
+
+def stft_magnitude_chunk(
+    frames: jax.Array, window: jax.Array
+) -> jax.Array:
+    """Windowed rFFT magnitude for a chunk of frames [B, C, F] -> [B, C, F//2+1]."""
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.abs(spec).astype(jnp.float32)
+
+
+def stft_reduce(
+    samples: jax.Array,
+    lengths: jax.Array,
+    frame_size: int,
+    hop: int,
+    reducer: Callable,
+    carry_init: Callable,
+    chunk_frames: int = 256,
+    halo: int = 0,
+):
+    """Scan the batched STFT in frame chunks and reduce each chunk.
+
+    Args:
+      samples: ``[B, T]`` padded sample batch (padding must be zeros).
+      lengths: ``[B]`` int32 valid sample counts.
+      frame_size, hop: STFT params.
+      reducer: ``(spec, frame_idx, frame_valid, carry) -> (outs, carry)`` where
+        ``spec`` is ``[B, C + halo_frames, K]`` magnitudes covering frames
+        ``[chunk_start - halo, chunk_start + C + halo)`` clamped to the global
+        frame range (out-of-range frames are zero and marked invalid),
+        ``frame_idx [C+2*halo]`` global frame indices, ``frame_valid
+        [B, C+2*halo]`` validity (in-range AND within the track's frame
+        count). ``outs`` must be a pytree of arrays with leading dims
+        ``[B, C, ...]`` describing the *central* C frames.
+      carry_init: ``(B,) -> carry`` pytree initializer.
+      chunk_frames: frames per scan step.
+      halo: context frames needed on each side (e.g. 0 for per-frame
+        features with a carried previous frame; ``margin`` for centered
+        time-smoothing).
+
+    Returns:
+      (outs, n_frames_total, frame_counts) where ``outs`` has leading dims
+      ``[B, n_frames_padded, ...]`` (n_frames_padded = n_chunks*chunk_frames,
+      >= n_frames_total) and ``frame_counts [B]`` is each track's valid frame
+      count.
+    """
+    b, t = samples.shape
+    nf = num_frames(t, frame_size, hop)
+    if nf <= 0:
+        raise ValueError(f"padded length {t} shorter than frame_size {frame_size}")
+    n_chunks = -(-nf // chunk_frames)
+    nf_padded = n_chunks * chunk_frames
+
+    # Per-track frame counts from per-track lengths.
+    frame_counts = jnp.where(
+        lengths >= frame_size, (lengths - frame_size) // hop + 1, 0
+    ).astype(jnp.int32)
+
+    # Pad samples so every chunk (+halo) can slice a full region.
+    need = (nf_padded + 2 * halo - 1) * hop + frame_size
+    if need > t:
+        samples = jnp.pad(samples, ((0, 0), (0, need - t)))
+
+    window = hann_window(frame_size, samples.dtype)
+    ext = chunk_frames + 2 * halo
+
+    def body(carry, chunk_idx):
+        first_frame = chunk_idx * chunk_frames - halo  # may be negative
+        start = jnp.maximum(first_frame, 0) * hop
+        region = jax.lax.dynamic_slice(
+            samples, (0, start), (b, (ext - 1) * hop + frame_size)
+        )
+        frames = extract_frames(region, ext, frame_size, hop)
+        spec = stft_magnitude_chunk(frames, window)
+        # Global frame indices covered by this (clamped) slice.
+        base = jnp.maximum(first_frame, 0)
+        fidx = base + jnp.arange(ext)
+        fvalid = (fidx[None, :] >= 0) & (fidx[None, :] < frame_counts[:, None])
+        # Frames before the clamp point duplicate frame 0 content; mark invalid
+        # (only happens in the first chunk's halo).
+        fvalid = fvalid & (jnp.arange(ext)[None, :] >= (base - first_frame))
+        spec = jnp.where(fvalid[:, :, None], spec, 0.0)
+        outs, carry = reducer(spec, fidx, fvalid, carry)
+        return carry, outs
+
+    carry0 = carry_init(b)
+    _, outs = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
+
+    def fix(x):
+        # [n_chunks, B, C, ...] -> [B, n_chunks*C, ...]
+        x = jnp.moveaxis(x, 0, 1)
+        return x.reshape((b, nf_padded) + x.shape[3:])
+
+    outs = jax.tree_util.tree_map(fix, outs)
+    return outs, nf_padded, frame_counts
+
+
+def mel_filterbank_matrix(
+    sample_rate: int, n_bins: int, n_mels: int, fmin_hz: float, fmax_hz: float
+) -> np.ndarray:
+    """HTK-mel triangular filterbank as a dense ``[n_bins, n_mels]`` matrix.
+
+    Mirrors the reference's integer-bin triangle construction
+    (``novelty.rs:78-172``): mel points are converted to *rounded bin indices*
+    made strictly increasing, and the rising/falling slopes are computed in
+    bin space with zero weight at the triangle feet. Applied to log1p
+    magnitudes via one MXU matmul.
+    """
+    if sample_rate <= 0 or n_bins < 2:
+        raise ValueError("invalid mel filterbank params")
+    n_mels = max(n_mels, 4)
+    nyquist = sample_rate * 0.5
+    fmin = min(max(fmin_hz, 0.0), max(nyquist, 1.0))
+    fmax = fmax_hz if (np.isfinite(fmax_hz) and fmax_hz > 0.0) else nyquist
+    fmax = float(np.clip(fmax, fmin + 1.0, nyquist))
+
+    fft_size = (n_bins - 1) * 2
+    freq_res = sample_rate / fft_size
+
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def inv_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mel_min, mel_max = mel(fmin), mel(fmax)
+    step = (mel_max - mel_min) / (n_mels + 1)
+    hz_points = inv_mel(mel_min + step * np.arange(n_mels + 2))
+    bin_points = np.clip(np.round(hz_points / freq_res).astype(np.int64), 0, n_bins - 1)
+    for i in range(1, len(bin_points)):
+        if bin_points[i] <= bin_points[i - 1]:
+            bin_points[i] = min(bin_points[i - 1] + 1, n_bins - 1)
+
+    w = np.zeros((n_bins, n_mels), dtype=np.float32)
+    for m in range(n_mels):
+        left, center, right = bin_points[m], bin_points[m + 1], bin_points[m + 2]
+        if not (left < center < right):
+            continue
+        for bb in range(left, center + 1):
+            ww = 0.0 if bb == left else (bb - left) / (center - left)
+            if ww > 0:
+                w[bb, m] += ww
+        for bb in range(center, right + 1):
+            ww = 0.0 if bb == right else (right - bb) / (right - center)
+            if ww > 0:
+                w[bb, m] += ww
+    return w
+
+
+@functools.lru_cache(maxsize=64)
+def hz_to_bin(freq_hz: float, freq_resolution: float, n_bins: int) -> int:
+    """Rounded, clamped Hz->bin conversion (tempogram.rs:279-289)."""
+    if not np.isfinite(freq_hz) or freq_hz <= 0.0 or freq_resolution <= 0.0:
+        return 0
+    return int(np.clip(round(freq_hz / freq_resolution), 0, max(n_bins - 1, 0)))
