@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Throughput benchmark: 3-minute tracks analyzed per second per chip.
+
+Runs the full default pipeline (BPM + multi-res escalation + key + beat grid)
+on a batch of synthetic 3-minute kick tracks on the available device(s) and
+prints ONE JSON line:
+
+  {"metric": "tracks_per_sec_per_chip", "value": N, "unit": "3min-tracks/s",
+   "vs_baseline": N}
+
+Baseline: the reference Rust engine's full-machine batch throughput of
+~21.3 tracks/sec with CPU-1 rayon workers (PHASE_1F_BENCHMARKS.md:76-78).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_TRACKS_PER_SEC = 21.3
+TRACK_SECONDS = 180.0
+SR = 44100
+
+
+def main() -> int:
+    import jax
+
+    from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.testing import kick_pattern
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    cfg = AnalysisConfig()
+    caps = PipelineCaps()
+
+    t = int(TRACK_SECONDS * SR)
+    bpms = np.linspace(80.0, 175.0, batch)
+    samples = np.stack([kick_pattern(b, TRACK_SECONDS) for b in bpms]).astype(np.float32)
+    lengths = np.full((batch,), t, np.int32)
+
+    fn = jax.jit(analyze_batch_arrays, static_argnames=("cfg", "sample_rate", "caps"))
+    sj = jax.device_put(samples)
+    lj = jax.device_put(lengths)
+
+    # warmup / compile
+    out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+
+    n_dev = jax.device_count()
+    tracks_per_sec = batch / dt
+    per_chip = tracks_per_sec / max(n_dev, 1)
+
+    # sanity: BPM should be near the seeded values
+    got = np.asarray(out["bpm"])
+    err = np.abs(got - bpms)
+    fam_ok = np.minimum.reduce([err, np.abs(got - 2 * bpms), np.abs(got - 0.5 * bpms)])
+    accuracy = float(np.mean(fam_ok < 2.0))
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracks_per_sec_per_chip",
+                "value": round(per_chip, 3),
+                "unit": "3min-tracks/s",
+                "vs_baseline": round(per_chip / BASELINE_TRACKS_PER_SEC, 3),
+                "batch": batch,
+                "devices": n_dev,
+                "batch_seconds": round(dt, 3),
+                "bpm_family_accuracy": accuracy,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

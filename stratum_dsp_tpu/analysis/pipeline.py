@@ -1,0 +1,386 @@
+"""Batched analysis orchestrator.
+
+TPU-native mirror of the reference's ``analyze_audio`` (``src/lib.rs:86-1634``)
+over a padded ``[B, T]`` track batch: preprocessing -> onsets -> streamed
+spectral features -> dual tempogram (+ masked multi-resolution escalation and
+optional percussive fallback) -> legacy fallback/fusion -> beat grid -> key
+-> warnings/flags/confidence.
+
+The reference's data-dependent escalation becomes unconditional-but-masked
+computation: every track pays for the multi-res pass (when the config enables
+it) and a per-track select picks base vs escalated — on TPU the extra FLOPs
+are cheaper than divergence (SURVEY §3.5).
+
+Everything here is jittable with ``cfg`` (hashable dataclass) and ``caps``
+static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AnalysisConfig
+from ..ops import masked
+from ..ops.stft import stft_reduce
+from ..preprocessing import normalization as norm
+from ..preprocessing import silence as sil
+from ..features.onset import (
+    consensus_onsets,
+    detect_energy_flux_onsets,
+    flux_onsets_from_curve,
+    hpss_decompose,
+    percussive_energy_flux,
+    vote_onsets,
+)
+from ..features.onset.spectral import hfc_flux
+from ..features.period import legacy as legacy_mod
+from ..features.period import multi_resolution as mr
+from ..features.period import novelty as nov
+from ..features.period import tempogram as tg
+from ..features.period import tempogram_fft as tft
+from ..features.beat import generate_beat_grid
+from ..features.key import detect_key_batch
+from . import confidence as conf_mod
+
+EPSILON = 1e-6
+FAMILY_RELS = (2.0, 1.5, 4.0 / 3.0)
+PERC_FAMILY_RELS = (2.0, 1.5, 4.0 / 3.0, 1.5, 2.0 / 3.0, 0.75)  # rel is >= 1 by construction
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineCaps:
+    """Static capacities (sized for a 3-minute track by default)."""
+
+    max_onsets: int = 2048
+    max_beats: int = 1024
+    seg_beat_cap: int = 64
+    max_segments: int = 48
+    chunk_frames: int = 512
+
+
+def _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, top_n):
+    fft_size = tft.next_pow2(curves["full"].shape[-1])
+    variants = tg.compute_variants(curves, nov_mask, n_valid, frame_rate, cfg, fft_size)
+    return tg.estimate_bpm_tempogram(variants, cfg, frame_rate, fft_size, top_n)
+
+
+def _collect_spec(samples, lengths, frame_size, hop, chunk_frames):
+    """Materialize the full magnitude spectrogram (only for the HPSS paths)."""
+
+    def reducer(spec, fidx, fvalid, carry):
+        return {"spec": spec}, carry
+
+    outs, _, frame_counts = stft_reduce(
+        samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
+        chunk_frames=chunk_frames,
+    )
+    return outs["spec"], frame_counts
+
+
+def analyze_batch_arrays(
+    samples: jax.Array,
+    lengths: jax.Array,
+    cfg: AnalysisConfig,
+    sample_rate: int,
+    caps: PipelineCaps = PipelineCaps(),
+) -> Dict[str, jax.Array]:
+    """Run the full pipeline; returns a flat dict of result arrays [B, ...].
+
+    Tracks that fail validation (empty / all silent after trimming) have
+    ``ok`` False and zeroed outputs, mirroring the reference's error returns
+    (lib.rs:100-110, 143-147).
+    """
+    b, t = samples.shape
+    lengths = lengths.astype(jnp.int32)
+    track_ok = lengths > 0
+
+    # --- Phase 1A: preprocessing (lib.rs:112-147) ---
+    if cfg.enable_normalization:
+        samples, _norm_meta = norm.normalize(
+            samples, lengths, cfg.normalization, sample_rate,
+            target_loudness_lufs=-14.0, max_headroom_db=1.0,
+        )
+    if cfg.enable_silence_trimming:
+        samples, lengths, sil_info = sil.detect_and_trim(
+            samples, lengths, sample_rate, cfg.min_amplitude_db,
+            frame_size=cfg.frame_size,
+        )
+        track_ok = track_ok & ~sil_info["all_silent"]
+
+    duration_s = lengths.astype(jnp.float32) / sample_rate
+
+    # --- energy-flux onsets (lib.rs:152-159) ---
+    e_pos, e_valid = detect_energy_flux_onsets(
+        samples, lengths, cfg.frame_size, cfg.hop_size, -20.0, caps.max_onsets
+    )
+
+    # --- shared streamed spectral features (lib.rs:164-166) ---
+    feats, frame_counts, _ = nov.compute_bpm_spectral_features(
+        samples, lengths, cfg, sample_rate, cfg.frame_size, cfg.hop_size,
+        chunk_frames=caps.chunk_frames,
+    )
+    curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
+    frame_rate = sample_rate / cfg.hop_size
+
+    need_spec = cfg.enable_hpss_onsets or cfg.enable_tempogram_percussive_fallback
+    if need_spec:
+        full_spec, _ = _collect_spec(
+            samples, lengths, cfg.frame_size, cfg.hop_size, caps.chunk_frames
+        )
+        _h, perc_spec = hpss_decompose(full_spec, frame_counts, cfg.hpss_margin)
+
+    # --- onset consensus (lib.rs:176-291) ---
+    onsets_pos, onsets_valid = e_pos, e_valid
+    if cfg.enable_onset_consensus:
+        sflux = feats["onset_sflux"][:, 1:]
+        s_pos, s_valid = flux_onsets_from_curve(
+            sflux, jnp.maximum(frame_counts - 1, 0), cfg.onset_threshold_percentile,
+            cfg.hop_size, lengths, caps.max_onsets,
+        )
+        hflux, h_n = hfc_flux(feats["hfc"][:, :, 0], frame_counts)
+        h_pos, h_valid = flux_onsets_from_curve(
+            hflux, h_n, cfg.onset_threshold_percentile, cfg.hop_size, lengths,
+            caps.max_onsets,
+        )
+        if cfg.enable_hpss_onsets:
+            pflux, p_n = percussive_energy_flux(perc_spec, frame_counts)
+            p_pos, p_valid = flux_onsets_from_curve(
+                pflux, p_n, cfg.onset_threshold_percentile, cfg.hop_size, lengths,
+                caps.max_onsets,
+            )
+        else:
+            p_pos = jnp.zeros_like(e_pos)
+            p_valid = jnp.zeros_like(e_valid)
+
+        vote = vote_onsets(
+            [e_pos, s_pos, h_pos, p_pos],
+            [e_valid, s_valid, h_valid, p_valid],
+            list(cfg.onset_consensus_weights),
+            cfg.onset_consensus_tolerance_ms,
+            sample_rate,
+        )
+        c_pos, c_valid = consensus_onsets(vote, caps.max_onsets)
+        use_consensus = jnp.any(c_valid, axis=-1)
+        onsets_pos = jnp.where(use_consensus[:, None], c_pos, e_pos)
+        onsets_valid = jnp.where(use_consensus[:, None], c_valid, e_valid)
+
+    # --- legacy estimate (lib.rs:294-329) ---
+    legacy = legacy_mod.estimate_bpm_legacy(onsets_pos, onsets_valid, t, sample_rate, cfg)
+
+    # --- base tempogram (lib.rs:337-408) ---
+    base_top_n = max(cfg.tempogram_candidates_top_n, cfg.tempogram_multi_res_top_k, 10)
+    base = _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, base_top_n)
+    tempo_ok = frame_counts > 1  # needs novelty; mirrors spec-empty failure
+
+    # --- ambiguity gate (lib.rs:412-459) ---
+    tol = max(2.0, cfg.bpm_resolution)
+    s_base = tg.cand_lookup_nearest(
+        base["cand_bpm"], base["cand_score"], base["cand_valid"], base["bpm"], tol
+    )
+    s_2x = tg.cand_lookup_nearest(
+        base["cand_bpm"], base["cand_score"], base["cand_valid"], base["bpm"] * 2.0, tol
+    )
+    s_half = tg.cand_lookup_nearest(
+        base["cand_bpm"], base["cand_score"], base["cand_valid"], base["bpm"] * 0.5, tol
+    )
+    trap_low = (base["bpm"] >= 55.0) & (base["bpm"] <= 80.0)
+    trap_high = (base["bpm"] >= 170.0) & (base["bpm"] <= 200.0)
+    family_competes = ((s_2x > 0.0) & (s_2x >= s_base * 0.90)) | (
+        (s_half > 0.0) & (s_half >= s_base * 0.90)
+    )
+    fold_into_trap = (base["bpm"] * 2.0 >= 170.0) & (base["bpm"] * 2.0 <= 200.0)
+    weak_base = (base["method_agreement"] == 0) | (base["confidence"] < 0.06)
+    ambiguous = trap_low | trap_high | family_competes | (weak_base & fold_into_trap)
+
+    chosen_bpm = base["bpm"]
+    chosen_conf = base["confidence"]
+    chosen_agree = base["method_agreement"]
+    cand_arrays = {k: base[k] for k in ("cand_bpm", "cand_score", "cand_fft", "cand_ac", "cand_valid", "cand_selected")}
+    mr_triggered = ambiguous & tempo_ok
+    mr_used = jnp.zeros_like(ambiguous)
+
+    if cfg.enable_tempogram_multi_resolution:
+        mres = mr.multi_resolution_estimate(samples, lengths, cfg, sample_rate)
+        rel = jnp.where(
+            chosen_bpm > EPSILON,
+            jnp.maximum(mres["bpm"] / jnp.maximum(chosen_bpm, EPSILON),
+                        chosen_bpm / jnp.maximum(mres["bpm"], EPSILON)),
+            1.0,
+        )
+        family_related = jnp.zeros_like(rel, bool)
+        for r in FAMILY_RELS:
+            family_related = family_related | (jnp.abs(rel - r) < 0.05)
+        forbid_high = (chosen_bpm <= 180.0) & (mres["bpm"] > 180.0)
+        mr_better = ~forbid_high & (
+            (mres["confidence"] >= chosen_conf + 0.05)
+            | ((mres["method_agreement"] > chosen_agree) & (mres["confidence"] >= chosen_conf * 0.90))
+            | (
+                (trap_low | trap_high)
+                & family_related
+                & (mres["confidence"] >= chosen_conf * 0.88)
+                & (((mres["bpm"] >= 70.0) & (mres["bpm"] <= 180.0)) | (chosen_bpm > 180.0))
+            )
+        )
+        mr_used = ambiguous & mr_better & mres["ok"]
+        chosen_bpm = jnp.where(mr_used, mres["bpm"], chosen_bpm)
+        chosen_conf = jnp.where(mr_used, mres["confidence"], chosen_conf)
+        chosen_agree = jnp.where(mr_used, mres["method_agreement"], chosen_agree)
+        for k in cand_arrays:
+            cand_arrays[k] = jnp.where(
+                mr_used[:, None] if cand_arrays[k].ndim == 2 else mr_used,
+                mres[k][:, : cand_arrays[k].shape[-1]],
+                cand_arrays[k],
+            )
+
+    # --- percussive fallback (lib.rs:587-683) ---
+    perc_needed = ambiguous & trap_low
+    perc_used = jnp.zeros_like(perc_needed)
+    if cfg.enable_tempogram_percussive_fallback:
+        pfeats = nov.compute_bpm_features_from_spec(
+            perc_spec, frame_counts, cfg, sample_rate, cfg.frame_size
+        )
+        pcurves, pmask, pn = nov.assemble_novelty_curves(pfeats, frame_counts, cfg)
+        pest = _tempogram_estimate(pcurves, pmask, pn, cfg, frame_rate, base_top_n)
+        rel = jnp.maximum(
+            pest["bpm"] / jnp.maximum(chosen_bpm, EPSILON),
+            chosen_bpm / jnp.maximum(pest["bpm"], EPSILON),
+        )
+        fam = jnp.zeros_like(rel, bool)
+        for r in (2.0, 1.5, 4.0 / 3.0):
+            fam = fam | (jnp.abs(rel - r) < 0.05)
+        forbid_high = (chosen_bpm <= 180.0) & (pest["bpm"] > 180.0)
+        base_low_trap = trap_low | (base["bpm"] < 95.0)
+        in_common = (pest["bpm"] >= 70.0) & (pest["bpm"] <= 180.0)
+        p_better = ~forbid_high & fam & in_common & (
+            (pest["confidence"] >= chosen_conf + 0.04)
+            | (base_low_trap & (pest["confidence"] >= chosen_conf * 0.85))
+            | ((pest["method_agreement"] > chosen_agree) & (pest["confidence"] >= chosen_conf * 0.92))
+        )
+        perc_used = perc_needed & p_better
+        chosen_bpm = jnp.where(perc_used, pest["bpm"], chosen_bpm)
+        chosen_conf = jnp.where(perc_used, pest["confidence"], chosen_conf)
+        chosen_agree = jnp.where(perc_used, pest["method_agreement"], chosen_agree)
+
+    # --- BPM selection (lib.rs:814-900) ---
+    tempo_valid = tempo_ok & (chosen_bpm > 0.0) & ~jnp.asarray(cfg.force_legacy_bpm)
+    if cfg.force_legacy_bpm:
+        bpm = jnp.where(legacy["ok"], legacy["bpm"], 0.0)
+        bpm_confidence = jnp.where(legacy["ok"], legacy["confidence"], 0.0)
+    elif cfg.enable_bpm_fusion:
+        l_conf = jnp.clip(legacy["confidence"], 0.0, 1.0)
+        t_conf = jnp.clip(chosen_conf, 0.0, 1.0)
+        diffs = jnp.stack(
+            [
+                jnp.abs(legacy["bpm"] - chosen_bpm),
+                jnp.abs(legacy["bpm"] - chosen_bpm * 0.5),
+                jnp.abs(legacy["bpm"] - chosen_bpm * 2.0),
+                jnp.abs(legacy["bpm"] - chosen_bpm * (2.0 / 3.0)),
+                jnp.abs(legacy["bpm"] - chosen_bpm * 1.5),
+            ],
+            axis=-1,
+        )
+        agree = legacy["ok"] & (legacy["bpm"] > 0.0) & jnp.any(diffs <= 2.0, axis=-1)
+        fused = jnp.where(
+            agree,
+            jnp.clip(t_conf + 0.12 * l_conf, 0.0, 1.0),
+            jnp.where(legacy["ok"] & (legacy["bpm"] > 0.0), jnp.clip(t_conf * 0.90, 0.0, 1.0), t_conf),
+        )
+        bpm = jnp.where(tempo_valid, chosen_bpm, jnp.where(legacy["ok"], legacy["bpm"], 0.0))
+        bpm_confidence = jnp.where(
+            tempo_valid, fused, jnp.where(legacy["ok"], legacy["confidence"], 0.0)
+        )
+    else:
+        bpm = jnp.where(tempo_valid, chosen_bpm, jnp.where(legacy["ok"], legacy["bpm"], 0.0))
+        bpm_confidence = jnp.where(
+            tempo_valid, chosen_conf, jnp.where(legacy["ok"], legacy["confidence"], 0.0)
+        )
+
+    bpm = jnp.where(track_ok, bpm, 0.0)
+    bpm_confidence = jnp.where(track_ok, bpm_confidence, 0.0)
+
+    # --- beat grid (lib.rs:913-958) ---
+    onset_seconds = onsets_pos.astype(jnp.float32) / sample_rate
+    grid = generate_beat_grid(
+        bpm, bpm_confidence, onset_seconds, onsets_valid & track_ok[:, None],
+        max_beats=caps.max_beats, seg_beat_cap=caps.seg_beat_cap,
+        max_segments=caps.max_segments,
+    )
+
+    # --- key (lib.rs:961-1559) ---
+    if cfg.enable_key_beat_synchronous:
+        key = detect_key_batch(
+            samples, lengths, cfg, sample_rate, grid.beat_times, grid.beat_valid
+        )
+    else:
+        key = detect_key_batch(samples, lengths, cfg, sample_rate)
+    key_ok = track_ok & (lengths >= cfg.frame_size)
+    key_idx = jnp.where(key_ok, key.key_idx, 0)
+    key_confidence = jnp.where(key_ok, key.confidence, 0.0)
+    key_clarity = jnp.where(key_ok, key.clarity, 0.0)
+
+    # --- warnings / flags / confidence (lib.rs:1564-1631) ---
+    warn_bpm = bpm == 0.0
+    warn_grid = grid.stability < 0.5
+    warn_key_conf = key_confidence < 0.3
+    warn_key_clarity = key_clarity < 0.2
+    conf = conf_mod.compute_confidence(
+        bpm, bpm_confidence, key_confidence, key_clarity, grid.stability,
+        bpm_warning=warn_bpm,
+        key_warning=warn_key_conf | warn_key_clarity,
+    )
+
+    out = {
+        "ok": track_ok,
+        "bpm": bpm,
+        "bpm_confidence": bpm_confidence,
+        "key_idx": key_idx,
+        "key_confidence": key_confidence,
+        "key_clarity": key_clarity,
+        "beat_times": grid.beat_times,
+        "beat_valid": grid.beat_valid,
+        "downbeat_times": grid.downbeat_times,
+        "downbeat_valid": grid.downbeat_valid,
+        "grid_stability": jnp.where(track_ok, grid.stability, 0.0),
+        "time_signature": grid.time_signature,
+        "has_tempo_variation": grid.has_tempo_variation,
+        "duration_seconds": duration_s,
+        "onset_count": jnp.sum(onsets_valid, axis=-1),
+        "multi_res_triggered": mr_triggered,
+        "multi_res_used": mr_used,
+        "percussive_triggered": perc_needed & jnp.asarray(cfg.enable_tempogram_percussive_fallback),
+        "percussive_used": perc_used,
+        "warn_bpm_failed": warn_bpm,
+        "warn_low_grid_stability": warn_grid,
+        "warn_low_key_confidence": warn_key_conf,
+        "warn_low_key_clarity": warn_key_clarity,
+    }
+    out.update({f"confidence_{k}": v for k, v in conf.items()})
+    if cfg.emit_tempogram_candidates:
+        k = min(cfg.tempogram_candidates_top_n, cand_arrays["cand_bpm"].shape[-1])
+        for name, arr in cand_arrays.items():
+            out[name] = arr[:, :k]
+    return out
+
+
+def analyze_batch(
+    samples,
+    lengths,
+    cfg: AnalysisConfig = AnalysisConfig(),
+    sample_rate: int = 44100,
+    caps: PipelineCaps = PipelineCaps(),
+    jit: bool = True,
+):
+    """User-facing entry: numpy/JAX arrays in, result-array dict out."""
+    samples = jnp.asarray(samples, jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    if jit:
+        fn = jax.jit(
+            analyze_batch_arrays, static_argnames=("cfg", "sample_rate", "caps")
+        )
+        return fn(samples, lengths, cfg=cfg, sample_rate=sample_rate, caps=caps)
+    return analyze_batch_arrays(samples, lengths, cfg, sample_rate, caps)

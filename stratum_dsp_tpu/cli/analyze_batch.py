@@ -1,0 +1,106 @@
+"""Batch analysis CLI — the throughput path.
+
+Mirror of the reference's ``analyze_batch`` example
+(examples/analyze_batch.rs): many files -> JSONL, with a wall-clock /
+throughput summary. Unlike the reference's rayon thread pool over
+single-threaded analyses, this pipeline is batch-first: the native decode
+pool fills padded ``[B, T]`` buckets that run through one jitted device
+program per bucket shape.
+
+Usage: python -m stratum_dsp_tpu.cli.analyze_batch tracks/*.wav -o out.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..analysis import PipelineCaps, analyze_batch, decode_results
+from ..io.decode import MIX_AVERAGE, decode_batch
+from .args import add_config_flags, config_from_args
+
+# Bucket boundaries (seconds) to bound padding waste; tracks land in the
+# smallest bucket that fits, longest are truncated to the max bucket.
+DEFAULT_BUCKETS = (60.0, 120.0, 240.0, 420.0)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Analyze a batch of audio files (JSONL out)")
+    p.add_argument("paths", nargs="+", help="audio files")
+    p.add_argument("-o", "--output", default="-", help="JSONL output path (default stdout)")
+    p.add_argument("--batch-size", type=int, default=8, help="tracks per device batch")
+    p.add_argument("--target-sample-rate", type=int, default=44100)
+    p.add_argument("--decode-threads", type=int, default=0, help="0 = CPU count - 1")
+    p.add_argument("--max-onsets", type=int, default=2048)
+    p.add_argument("--max-beats", type=int, default=1024)
+    add_config_flags(p)
+    return p
+
+
+def bucket_for(n_samples: int, sr: int, buckets=DEFAULT_BUCKETS) -> int:
+    secs = n_samples / sr
+    for b in buckets:
+        if secs <= b:
+            return int(b * sr)
+    return int(buckets[-1] * sr)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    caps = PipelineCaps(max_onsets=args.max_onsets, max_beats=args.max_beats)
+    sr = args.target_sample_rate
+
+    out_fh = sys.stdout if args.output == "-" else open(args.output, "w")
+    t_start = time.time()
+
+    decoded = decode_batch(args.paths, target_sr=sr, n_threads=args.decode_threads)
+
+    # group decodable tracks by padded bucket length
+    groups: dict[int, list[int]] = {}
+    for i, (samples, _sr, err) in enumerate(decoded):
+        if err is not None or samples is None or samples.size == 0:
+            rec = {"file": args.paths[i], "error": err or "empty audio"}
+            out_fh.write(json.dumps(rec) + "\n")
+            continue
+        groups.setdefault(bucket_for(len(samples), sr), []).append(i)
+
+    n_ok = 0
+    for bucket_len, idxs in sorted(groups.items()):
+        for chunk_start in range(0, len(idxs), args.batch_size):
+            chunk = idxs[chunk_start : chunk_start + args.batch_size]
+            b = len(chunk)
+            batch = np.zeros((b, bucket_len), np.float32)
+            lengths = np.zeros((b,), np.int32)
+            for j, i in enumerate(chunk):
+                s = decoded[i][0][:bucket_len]
+                batch[j, : len(s)] = s
+                lengths[j] = len(s)
+            t0 = time.time()
+            out = analyze_batch(batch, lengths, cfg, sr, caps)
+            results = decode_results(out, sr)
+            dt = (time.time() - t0) * 1000.0
+            for j, i in enumerate(chunk):
+                results[j].metadata.processing_time_ms = dt / b
+                rec = {"file": args.paths[i], **results[j].to_dict()}
+                out_fh.write(json.dumps(rec) + "\n")
+                n_ok += 1
+
+    wall = time.time() - t_start
+    print(
+        f"analyzed {n_ok}/{len(args.paths)} tracks in {wall:.1f}s "
+        f"({n_ok / max(wall, 1e-9):.2f} tracks/sec)",
+        file=sys.stderr,
+    )
+    if out_fh is not sys.stdout:
+        out_fh.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

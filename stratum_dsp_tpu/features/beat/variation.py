@@ -1,0 +1,260 @@
+"""Tempo-variation detection + Bayesian segment refinement (batched).
+
+Mirrors reference ``beat_tracking/tempo_variation.rs`` and ``bayesian.rs``:
+
+* Overlapping segments of clamp(total/4, 4..8) s with 50% hop over the beat
+  list; per-segment beat-interval CV; variable iff CV > 0.15
+  (tempo_variation.rs:47-52, 135-201).
+* For variable segments, a sequential Bayesian tracker proposes BPMs
+  ±5 @ 0.5 around its running estimate (clamped 60..180), scores each by the
+  mean Gaussian log-likelihood (σ=50 ms) of segment-onset alignment to the
+  candidate's beat grid anchored at the segment's first onset, and applies a
+  change-magnitude confidence penalty (bayesian.rs:104-178, 183-254).
+* Variable segments are re-tracked (HMM emissions at the refined BPM over the
+  segment onsets); constant segments keep their original beats; the union —
+  overlap duplicates included, exactly like the reference's extend+sort
+  (mod.rs:163-219) — replaces the beat list when any segment was variable.
+
+Fixed capacities: MAX_SEGMENTS segment slots, ``seg_beat_cap`` re-tracked
+beats per segment. The whole thing is a ``lax.scan`` over segment slots with
+the Bayesian BPM as the carried state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmm import (
+    BeatTensor,
+    EMISSION_SIGMA,
+    EMISSION_THRESHOLD,
+    TIMING_TOLERANCE_S,
+    nearest_onset_distance,
+)
+
+EPSILON = 1e-10
+BIG = 1e9
+MIN_SEGMENT_DURATION_S = 2.0
+TEMPO_VARIATION_THRESHOLD = 0.15
+PRIOR_SIGMA = 2.0
+LIKELIHOOD_SIGMA = 0.05
+N_CANDIDATES = 21  # ±5 BPM @ 0.5 steps
+MAX_SEGMENTS = 48
+
+
+def compact_sorted(times: jax.Array, valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Push invalid entries to the end (as BIG); values stay time-sorted.
+    Returns (times, n_valid)."""
+    t = jnp.sort(jnp.where(valid, times, BIG), axis=-1)
+    return t, jnp.sum(valid, axis=-1)
+
+
+def interval_stats_prefix(times: jax.Array, n: jax.Array):
+    """Prefix sums over consecutive diffs for O(1) per-segment stats.
+    Returns (csum_d, csum_d2) with leading zero, diffs beyond n-1 zeroed."""
+    mb = times.shape[-1]
+    d = times[:, 1:] - times[:, :-1]
+    dmask = jnp.arange(mb - 1)[None, :] < (n - 1)[:, None]
+    d = jnp.where(dmask, d, 0.0)
+    z = jnp.zeros_like(d[:, :1])
+    return (
+        jnp.concatenate([z, jnp.cumsum(d, axis=-1)], axis=-1),
+        jnp.concatenate([z, jnp.cumsum(d * d, axis=-1)], axis=-1),
+    )
+
+
+def refine_beats(
+    beats: BeatTensor,
+    nominal_bpm: jax.Array,
+    bpm_confidence: jax.Array,
+    onset_times: jax.Array,
+    onset_valid: jax.Array,
+    seg_beat_cap: int = 64,
+    max_segments: int = MAX_SEGMENTS,
+):
+    """Full variation-detect + refine pass.
+
+    Returns (final BeatTensor [B, MB + MAX_SEGMENTS*seg_beat_cap],
+    has_variation [B] bool).
+    """
+    b, mb = beats.times.shape
+    bt, n_beats = compact_sorted(beats.times, beats.valid)
+    bconf = jnp.take_along_axis(
+        jnp.where(beats.valid, beats.confidence, 0.0),
+        jnp.argsort(jnp.where(beats.valid, beats.times, BIG), axis=-1),
+        axis=-1,
+    )
+    ot, n_onsets = compact_sorted(onset_times, onset_valid)
+
+    t0 = jnp.where(n_beats > 0, bt[:, 0], 0.0)
+    tlast = jnp.take_along_axis(bt, jnp.maximum(n_beats - 1, 0)[:, None], axis=-1)[:, 0]
+    tlast = jnp.where(n_beats > 0, tlast, 0.0)
+    total = tlast - t0
+
+    # early-return paths (tempo_variation.rs:96-131): <4 beats or <2 s total
+    segmentable = (n_beats >= 4) & (total >= MIN_SEGMENT_DURATION_S)
+    seg_dur = jnp.clip(total / 4.0, 4.0, 8.0)
+    hop = seg_dur * 0.5
+
+    csum_d, csum_d2 = interval_stats_prefix(bt, n_beats)
+
+    def segment_bounds(s):
+        start = t0 + s * hop
+        end = jnp.minimum(start + seg_dur, tlast)
+        exists = segmentable & (start < tlast)
+        return start, end, exists
+
+    def beat_range(start, end):
+        i0 = jax.vmap(jnp.searchsorted, (0, 0, None))(bt, start, "left")
+        i1 = jax.vmap(jnp.searchsorted, (0, 0, None))(bt, end, "right")
+        i1 = jnp.minimum(i1, n_beats)
+        return i0, i1
+
+    def onset_range(start, end):
+        j0 = jax.vmap(jnp.searchsorted, (0, 0, None))(ot, start, "left")
+        j1 = jax.vmap(jnp.searchsorted, (0, 0, None))(ot, end, "right")
+        j1 = jnp.minimum(j1, n_onsets)
+        return j0, j1
+
+    onset_idx = jnp.arange(ot.shape[-1])
+
+    def bayes_step(carry, s):
+        cur_bpm, _cur_conf = carry
+        start, end, exists = segment_bounds(s.astype(jnp.float32))
+        i0, i1 = beat_range(start, end)
+        cnt = i1 - i0
+        # interval CV over beats [i0, i1)
+        n_int = jnp.maximum(cnt - 1, 0)
+        ssum = jnp.take_along_axis(csum_d, jnp.maximum(i1 - 1, 0)[:, None], axis=-1)[:, 0] - \
+            jnp.take_along_axis(csum_d, i0[:, None], axis=-1)[:, 0]
+        ssum2 = jnp.take_along_axis(csum_d2, jnp.maximum(i1 - 1, 0)[:, None], axis=-1)[:, 0] - \
+            jnp.take_along_axis(csum_d2, i0[:, None], axis=-1)[:, 0]
+        nf = jnp.maximum(n_int, 1).astype(jnp.float32)
+        mean = ssum / nf
+        var = jnp.maximum(ssum2 / nf - mean * mean, 0.0)
+        cv = jnp.where(mean > EPSILON, jnp.sqrt(var) / mean, 0.0)
+        seg_ok = exists & (cnt >= 3) & (n_int > 0)
+        is_var = seg_ok & (cv > TEMPO_VARIATION_THRESHOLD)
+
+        # --- Bayesian update on segment onsets (variable segments only) ---
+        j0, j1 = onset_range(start, end)
+        has_onsets = (j1 - j0) >= 1
+        omask = (onset_idx[None, :] >= j0[:, None]) & (onset_idx[None, :] < j1[:, None])
+        seg_first_onset = jnp.take_along_axis(ot, jnp.minimum(j0, ot.shape[-1] - 1)[:, None], axis=-1)[:, 0]
+
+        min_c = jnp.maximum(cur_bpm - 5.0, 60.0)
+        max_c = jnp.minimum(cur_bpm + 5.0, 180.0)
+        cand = min_c[:, None] + 0.5 * jnp.arange(N_CANDIDATES, dtype=jnp.float32)[None, :]
+        cand_ok = cand <= max_c[:, None] + 1e-6
+
+        interval = 60.0 / jnp.maximum(cand, EPSILON)  # [B, C]
+        rel = ot[:, None, :] - seg_first_onset[:, None, None]  # [B, 1, K]
+        bi = jnp.round(rel / interval[:, :, None])
+        d = jnp.abs(rel - bi * interval[:, :, None])  # [B, C, K]
+        logp = -(d * d) / (2.0 * LIKELIHOOD_SIGMA * LIKELIHOOD_SIGMA)
+        cnt_o = jnp.maximum(jnp.sum(omask, axis=-1), 1).astype(jnp.float32)
+        avg_logp = jnp.sum(jnp.where(omask[:, None, :], logp, 0.0), axis=-1) / cnt_o[:, None]
+        lik = jnp.where(cand_ok, jnp.exp(avg_logp), -1.0)  # [B, C]
+        # reference keeps current bpm unless some likelihood > 0 strictly
+        best_c = jnp.argmax(lik, axis=-1)
+        best_lik = jnp.take_along_axis(lik, best_c[:, None], axis=-1)[:, 0]
+        best_bpm = jnp.take_along_axis(cand, best_c[:, None], axis=-1)[:, 0]
+        take = best_lik > 0.0
+        best_bpm = jnp.where(take, best_bpm, cur_bpm)
+        best_lik = jnp.maximum(best_lik, 0.0)
+
+        change = jnp.abs(best_bpm - cur_bpm)
+        penalty = jnp.where(change < 1.0, 1.0, jnp.where(change < 3.0, 0.8, 0.5))
+        new_conf = jnp.minimum(best_lik * penalty, 1.0)
+
+        do_update = is_var & has_onsets
+        cur_bpm = jnp.where(do_update, best_bpm, cur_bpm)
+
+        # --- per-segment beats ---
+        # variable: re-track on segment onsets at refined bpm
+        seg_interval = 60.0 / jnp.maximum(cur_bpm, EPSILON)
+        seg_last_onset = jnp.take_along_axis(
+            ot, jnp.maximum(j1 - 1, 0)[:, None], axis=-1
+        )[:, 0]
+        nfr = jnp.ceil(jnp.maximum(seg_last_onset - seg_first_onset, 0.0) / seg_interval).astype(jnp.int32) + 1
+        nfr = jnp.minimum(nfr, seg_beat_cap)
+        fidx = jnp.arange(seg_beat_cap, dtype=jnp.float32)
+        times_v = seg_first_onset[:, None] + fidx[None, :] * seg_interval[:, None]
+        fvalid = fidx[None, :] < nfr[:, None]
+        # nearest onset within the contiguous window [j0, j1)
+        def win_dist(q, o, lo_i, hi_i):
+            idx = jnp.searchsorted(o, q)
+            lo = jnp.clip(idx - 1, lo_i, jnp.maximum(hi_i - 1, lo_i))
+            hi = jnp.clip(idx, lo_i, jnp.maximum(hi_i - 1, lo_i))
+            d = jnp.minimum(jnp.abs(q - o[lo]), jnp.abs(q - o[hi]))
+            return jnp.where(hi_i > lo_i, d, BIG)
+
+        dist = jax.vmap(win_dist)(times_v, ot, j0, j1)
+        em = jnp.exp(-(dist * dist) / (2.0 * EMISSION_SIGMA * EMISSION_SIGMA))
+        is_beat_v = fvalid & (em > EMISSION_THRESHOLD) & has_onsets[:, None]
+        align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)
+        conf_v = jnp.minimum(0.7 * em + 0.3 * align, 1.0)
+
+        # constant: original beats within [start, end] (cap at seg_beat_cap,
+        # taking the earliest; segments hold ~seg_dur*bpm/60 <= 25 beats)
+        in_seg = (jnp.arange(mb)[None, :] >= i0[:, None]) & (jnp.arange(mb)[None, :] < i1[:, None])
+        key = jnp.where(in_seg, bt, BIG)
+        if mb < seg_beat_cap:  # pad so slot counts line up with times_v
+            pad_w = ((0, 0), (0, seg_beat_cap - mb))
+            key = jnp.pad(key, pad_w, constant_values=BIG)
+            bt_p = jnp.pad(bt, pad_w)
+            bconf_p = jnp.pad(bconf, pad_w)
+            in_seg_p = jnp.pad(in_seg, pad_w)
+        else:
+            bt_p, bconf_p, in_seg_p = bt, bconf, in_seg
+        order = jnp.argsort(key, axis=-1)[:, :seg_beat_cap]
+        times_c = jnp.take_along_axis(bt_p, order, axis=-1)
+        conf_c = jnp.take_along_axis(bconf_p, order, axis=-1)
+        valid_c = jnp.take_along_axis(in_seg_p, order, axis=-1)
+        times_c = jnp.where(valid_c, times_c, 0.0)
+
+        use_var = is_var[:, None]
+        seg_times = jnp.where(use_var, jnp.where(is_beat_v, times_v, 0.0), times_c)
+        seg_conf = jnp.where(use_var, jnp.where(is_beat_v, conf_v, 0.0), jnp.where(valid_c, conf_c, 0.0))
+        seg_valid = jnp.where(use_var, is_beat_v, valid_c) & seg_ok[:, None]
+
+        return (cur_bpm, new_conf), (seg_times, seg_conf, seg_valid, is_var)
+
+    init = (nominal_bpm, bpm_confidence)
+    (_, _), (st, sc, sv, ivar) = jax.lax.scan(
+        bayes_step, init, jnp.arange(max_segments)
+    )
+    # [S, B, C] -> [B, S*C]
+    def flat(x):
+        return jnp.moveaxis(x, 0, 1).reshape(b, -1)
+
+    seg_times, seg_conf, seg_valid = flat(st), flat(sc), flat(sv)
+    has_variation = jnp.any(jnp.moveaxis(ivar, 0, 1), axis=-1)
+
+    # replacement only when variation was detected AND the merged list is
+    # non-empty (mod.rs:210-218)
+    merged_nonempty = jnp.any(seg_valid, axis=-1)
+    use_refined = has_variation & merged_nonempty
+
+    cap = seg_times.shape[-1]
+    pad = cap - mb
+    orig_times = jnp.pad(jnp.where(beats.valid, beats.times, 0.0), ((0, 0), (0, pad)))
+    orig_conf = jnp.pad(jnp.where(beats.valid, beats.confidence, 0.0), ((0, 0), (0, pad)))
+    orig_valid = jnp.pad(beats.valid, ((0, 0), (0, pad)))
+
+    times = jnp.where(use_refined[:, None], seg_times, orig_times)
+    conf = jnp.where(use_refined[:, None], seg_conf, orig_conf)
+    valid = jnp.where(use_refined[:, None], seg_valid, orig_valid)
+
+    # time-sort (duplicates preserved, like the reference's extend+sort)
+    order = jnp.argsort(jnp.where(valid, times, BIG), axis=-1)
+    final = BeatTensor(
+        times=jnp.where(jnp.take_along_axis(valid, order, axis=-1),
+                        jnp.take_along_axis(times, order, axis=-1), 0.0),
+        confidence=jnp.take_along_axis(conf, order, axis=-1),
+        valid=jnp.take_along_axis(valid, order, axis=-1),
+    )
+    return final, has_variation

@@ -157,6 +157,27 @@ def compute_bpm_spectral_features(
     return outs, frame_counts, nf_padded
 
 
+def compute_bpm_features_from_spec(
+    spec: jax.Array,
+    frame_counts: jax.Array,
+    cfg: AnalysisConfig,
+    sample_rate: int,
+    frame_size: int,
+):
+    """Same per-frame features as the streaming reducer, but from a
+    materialized spectrogram ``[B, F, K]`` (used for HPSS / percussive
+    variants where the spectrogram already exists). Invalid frames must be
+    zeroed by the caller."""
+    reducer, carry_init, band_names = make_bpm_reducer(cfg, sample_rate, frame_size)
+    b, f, k = spec.shape
+    fvalid = masked.length_mask(frame_counts, f)
+    spec = jnp.where(fvalid[..., None], spec, 0.0)
+    fidx = jnp.arange(f)
+    outs, _ = reducer(spec, fidx, fvalid, carry_init(b))
+    outs["band_names"] = band_names
+    return outs
+
+
 def mel_superflux_from_frames(
     mel_frames: jax.Array, nov_mask: jax.Array, max_filter_mels: int
 ) -> jax.Array:

@@ -1,0 +1,1 @@
+from .decode import decode_file, decode_batch, MIX_AVERAGE, MIX_DOMINANT

@@ -184,6 +184,35 @@ def median_filter_1d(x: jax.Array, half: int) -> jax.Array:
     return 0.5 * (v_hi + v_lo)
 
 
+def masked_median_filter_1d(x: jax.Array, n_valid: jax.Array, half: int) -> jax.Array:
+    """Centered median filter on the last axis with the window clipped to the
+    per-row *valid* range [0, n_valid) (reference hpss.rs:179-243 semantics:
+    even-count windows average the two middle values). ``n_valid`` broadcasts
+    against ``x[..., 0]``. Entries at i >= n_valid are returned unchanged.
+    """
+    n = x.shape[-1]
+    nv = jnp.asarray(n_valid)[..., None]  # [..., 1]
+    idx = jnp.arange(n)
+    shifts = []
+    for off in range(-half, half + 1):
+        j = idx + off
+        ok = (j >= 0) & (j[None, ...] < nv)
+        g = jnp.take(x, jnp.clip(j, 0, n - 1), axis=-1)
+        shifts.append(jnp.where(ok, g, jnp.inf))
+    stack = jnp.stack(shifts, axis=-1)  # [..., n, window]
+    s = jnp.sort(stack, axis=-1)
+    lo = jnp.maximum(idx - half, 0)
+    hi = jnp.minimum(idx + half, nv - 1)
+    cnt = jnp.maximum(hi - lo + 1, 1)  # [..., n]
+    mid_hi = cnt // 2
+    mid_lo = jnp.where(cnt % 2 == 0, mid_hi - 1, mid_hi)
+    tgt = s.shape[:-1]
+    v_hi = jnp.take_along_axis(s, jnp.broadcast_to(mid_hi, tgt)[..., None], axis=-1)[..., 0]
+    v_lo = jnp.take_along_axis(s, jnp.broadcast_to(mid_lo, tgt)[..., None], axis=-1)[..., 0]
+    med = 0.5 * (v_hi + v_lo)
+    return jnp.where(idx < nv, med, x)
+
+
 def median_filter_1d_select_nth(x: jax.Array, half: int) -> jax.Array:
     """Median filter with the reference's ``select_nth_unstable`` semantics
     (single element at index len/2, no even-count averaging) — used by the
@@ -220,7 +249,9 @@ def distance_to_nearest_true(mask: jax.Array, big: float = 1e9) -> jax.Array:
 
     ones = jnp.ones_like(d0)
     fwd, _ = jax.lax.associative_scan(combine, (d0, ones), axis=-1)
-    bwd, _ = jax.lax.associative_scan(combine, (d0, ones), axis=-1, reverse=True)
+    d0r = jnp.flip(d0, axis=-1)
+    bwd_r, _ = jax.lax.associative_scan(combine, (d0r, ones), axis=-1)
+    bwd = jnp.flip(bwd_r, axis=-1)
     return jnp.minimum(fwd, bwd)
 
 

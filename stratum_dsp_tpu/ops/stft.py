@@ -111,7 +111,10 @@ def stft_reduce(
     b, t = samples.shape
     nf = num_frames(t, frame_size, hop)
     if nf <= 0:
-        raise ValueError(f"padded length {t} shorter than frame_size {frame_size}")
+        # shorter than one frame: run a single all-invalid frame so callers
+        # degrade gracefully (the reference returns an empty spectrogram and
+        # downstream stages fall back to defaults, e.g. lib.rs:985-1009)
+        nf = 1
     n_chunks = -(-nf // chunk_frames)
     nf_padded = n_chunks * chunk_frames
 

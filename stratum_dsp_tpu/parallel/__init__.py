@@ -1,0 +1,1 @@
+from .mesh import make_mesh, analyze_batch_sharded, dryrun_multichip

@@ -1,0 +1,8 @@
+from .synth import (
+    SAMPLE_RATE,
+    kick_pattern,
+    c_major_scale,
+    silence_sandwich,
+    click_track,
+    pad_batch,
+)

@@ -1,0 +1,128 @@
+"""Beat tracking: HMM, variation refine, time signature, grid assembly."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stratum_dsp_tpu.features.beat import generate_beat_grid, track_beats
+from stratum_dsp_tpu.features.beat.grid import grid_stability
+from stratum_dsp_tpu.features.beat.time_signature import detect_time_signature
+from stratum_dsp_tpu.features.beat.variation import compact_sorted
+
+
+def onset_tensor(lists, k=64):
+    b = len(lists)
+    t = np.zeros((b, k), np.float32)
+    v = np.zeros((b, k), bool)
+    for i, lst in enumerate(lists):
+        t[i, : len(lst)] = lst
+        v[i, : len(lst)] = True
+    return jnp.asarray(t), jnp.asarray(v)
+
+
+def test_hmm_tracks_regular_beats():
+    # onsets exactly on a 120 BPM grid
+    onsets = [i * 0.5 for i in range(16)]
+    ot, ov = onset_tensor([onsets])
+    beats, _ = track_beats(jnp.asarray([120.0]), ot, ov, max_beats=64)
+    times = np.asarray(beats.times[0])[np.asarray(beats.valid[0])]
+    assert len(times) == 16
+    np.testing.assert_allclose(times, onsets, atol=1e-5)
+    conf = np.asarray(beats.confidence[0])[np.asarray(beats.valid[0])]
+    assert (conf > 0.9).all()
+
+
+def test_hmm_skips_unsupported_frames():
+    # a gap in onsets -> emission < 0.1 -> frames dropped
+    onsets = [0.0, 0.5, 1.0, 3.0, 3.5, 4.0]
+    ot, ov = onset_tensor([onsets])
+    beats, _ = track_beats(jnp.asarray([120.0]), ot, ov, max_beats=32)
+    times = np.asarray(beats.times[0])[np.asarray(beats.valid[0])]
+    # beats in the 1.5-2.5s dead zone must be absent
+    assert not ((times > 1.2) & (times < 2.8)).any()
+    assert (np.abs(times[:, None] - np.asarray(onsets)[None, :]).min(axis=1) < 0.08).all()
+
+
+def test_generate_beat_grid_120bpm():
+    onsets = [i * 0.5 for i in range(24)]
+    ot, ov = onset_tensor([onsets])
+    grid = generate_beat_grid(jnp.asarray([120.0]), jnp.asarray([0.9]), ot, ov, max_beats=64, seg_beat_cap=32, max_segments=8)
+    assert bool(grid.ok[0])
+    times = np.asarray(grid.beat_times[0])[np.asarray(grid.beat_valid[0])]
+    assert len(times) == 24
+    ivals = np.diff(times)
+    np.testing.assert_allclose(ivals, 0.5, atol=0.05)
+    # stability ~ 1 for a perfect grid
+    assert float(grid.stability[0]) > 0.95
+    # 4/4 expected, downbeats every 4 beats starting at beat 0
+    assert int(grid.time_signature[0]) == 0
+    db = np.asarray(grid.downbeat_times[0])[np.asarray(grid.downbeat_valid[0])]
+    assert len(db) == 6
+    np.testing.assert_allclose(np.diff(db), 2.0, atol=0.1)
+    assert not bool(grid.has_tempo_variation[0])
+
+
+def test_grid_empty_onsets_fails_gracefully():
+    ot, ov = onset_tensor([[]])
+    grid = generate_beat_grid(jnp.asarray([120.0]), jnp.asarray([0.5]), ot, ov, max_beats=16, seg_beat_cap=16, max_segments=4)
+    assert not bool(grid.ok[0])
+    assert float(grid.stability[0]) == 0.0
+    assert not np.asarray(grid.beat_valid[0]).any()
+
+
+def test_variable_tempo_flagged():
+    """refine_beats flags segments whose beat-interval CV exceeds 0.15
+    (tempo_variation.rs:47-52). Feed a beat list with alternating 0.40/0.70 s
+    intervals (CV ~ 0.27) directly — the HMM's fixed nominal grid would
+    never emit such beats on its own (its emission gate drops off-grid
+    frames, matching the reference)."""
+    from stratum_dsp_tpu.features.beat.hmm import BeatTensor
+    from stratum_dsp_tpu.features.beat.variation import refine_beats
+
+    times = [0.0]
+    for i in range(40):
+        times.append(times[-1] + (0.4 if i % 2 == 0 else 0.7))
+    n = len(times)
+    bt = np.zeros((1, 64), np.float32)
+    bt[0, :n] = times
+    bv = np.zeros((1, 64), bool)
+    bv[0, :n] = True
+    beats = BeatTensor(
+        times=jnp.asarray(bt), confidence=jnp.asarray(bt * 0 + 0.9), valid=jnp.asarray(bv)
+    )
+    ot, ov = onset_tensor([times], k=64)
+    _, has_var = refine_beats(
+        beats, jnp.asarray([110.0]), jnp.asarray([0.5]), ot, ov,
+        seg_beat_cap=32, max_segments=12,
+    )
+    assert bool(has_var[0])
+
+
+def test_stability_jittered_vs_clean(rng):
+    clean = np.arange(20) * 0.5
+    jit = clean + rng.normal(0, 0.04, 20)
+    jit.sort()
+    tc, nc = compact_sorted(jnp.asarray(clean[None].astype(np.float32)), jnp.ones((1, 20), bool))
+    tj, nj = compact_sorted(jnp.asarray(jit[None].astype(np.float32)), jnp.ones((1, 20), bool))
+    sc = float(grid_stability(tc, nc)[0])
+    sj = float(grid_stability(tj, nj)[0])
+    assert sc > sj
+
+
+def test_time_signature_waltz():
+    # 3/4: long-short-short interval pattern repeating every 3 beats
+    pattern = [0.6, 0.5, 0.5]
+    times = [0.0]
+    for i in range(30):
+        times.append(times[-1] + pattern[i % 3])
+    arr = jnp.asarray(np.asarray(times, np.float32)[None])
+    n = jnp.asarray([len(times)])
+    sig, conf = detect_time_signature(arr, None, n)
+    assert int(sig[0]) == 1  # ThreeFour
+    assert float(conf[0]) > 0.3
+
+
+def test_time_signature_few_beats_defaults_44():
+    arr = jnp.asarray(np.asarray([0.0, 0.5, 1.0], np.float32)[None])
+    sig, conf = detect_time_signature(arr, None, jnp.asarray([3]))
+    assert int(sig[0]) == 0
+    assert float(conf[0]) == 0.5

@@ -1,0 +1,81 @@
+"""End-to-end pipeline integration tests.
+
+Mirror of reference ``tests/integration_tests.rs``: full ``analyze_batch`` on
+the synthetic fixture set (120/128 BPM kicks, C-major scale, silence
+sandwich) with the reference's assertions — BPM ±2, beat interval sanity,
+trimmed duration, key = C major, silent-input failure.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stratum_dsp_tpu.analysis import PipelineCaps, analyze_batch, decode_results
+from stratum_dsp_tpu.config import AnalysisConfig
+from stratum_dsp_tpu.result import Key
+from stratum_dsp_tpu.testing import (
+    SAMPLE_RATE,
+    c_major_scale,
+    kick_pattern,
+    pad_batch,
+    silence_sandwich,
+)
+
+CFG = AnalysisConfig()
+CAPS = PipelineCaps(max_onsets=256, max_beats=256, seg_beat_cap=32, max_segments=12)
+
+
+@pytest.fixture(scope="module")
+def fixture_results():
+    tracks = [
+        kick_pattern(120.0, 8.0),
+        kick_pattern(128.0, 7.5),
+        c_major_scale(),
+        silence_sandwich(5.0, 5.0),
+    ]
+    samples, lengths = pad_batch(tracks)
+    out = analyze_batch(samples, lengths, CFG, SAMPLE_RATE, CAPS)
+    return decode_results(out, SAMPLE_RATE)
+
+
+def test_120bpm_fixture(fixture_results):
+    r = fixture_results[0]
+    assert abs(r.bpm - 120.0) <= 2.05, r.bpm
+    assert r.bpm_confidence > 0.0
+    beats = r.beat_grid.beats
+    assert len(beats) >= 8
+    intervals = np.diff(beats)
+    # beat interval ~0.5 s (integration_tests.rs beat interval +-0.1)
+    assert abs(np.median(intervals) - 0.5) < 0.1
+
+
+def test_128bpm_fixture(fixture_results):
+    r = fixture_results[1]
+    assert abs(r.bpm - 128.0) <= 2.05, r.bpm
+    intervals = np.diff(r.beat_grid.beats)
+    assert abs(np.median(intervals) - 60.0 / 128.0) < 0.1
+
+
+def test_cmajor_scale_key(fixture_results):
+    r = fixture_results[2]
+    assert r.key.name() == "C", r.key.name()
+
+
+def test_silence_sandwich_trimmed(fixture_results):
+    r = fixture_results[3]
+    # trimmed to ~5 s of tone (integration_tests.rs trimmed duration)
+    assert abs(r.metadata.duration_seconds - 5.0) < 0.3
+
+
+def test_all_silent_fails():
+    samples = np.zeros((1, 3 * SAMPLE_RATE), np.float32)
+    out = analyze_batch(samples, np.asarray([3 * SAMPLE_RATE]), CFG, SAMPLE_RATE, CAPS)
+    assert not bool(out["ok"][0])
+    assert float(out["bpm"][0]) == 0.0
+
+
+def test_camelot_roundtrip():
+    # result.rs:346-369 invariant over all 24 keys
+    for idx in range(24):
+        k = Key.from_index(idx)
+        assert Key.from_numerical(k.numerical()) == k

@@ -1,0 +1,82 @@
+"""Legacy BPM path: FFT-ACF candidates, comb filterbank, merge."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stratum_dsp_tpu.config import AnalysisConfig
+from stratum_dsp_tpu.features.period import legacy
+
+SR = 44100
+CFG = AnalysisConfig()
+
+
+def onset_tensor_samples(lists, k=128):
+    b = len(lists)
+    p = np.zeros((b, k), np.int32)
+    v = np.zeros((b, k), bool)
+    for i, lst in enumerate(lists):
+        p[i, : len(lst)] = lst
+        v[i, : len(lst)] = True
+    return jnp.asarray(p), jnp.asarray(v)
+
+
+def grid_onsets(bpm, duration_s, sr=SR, jitter=0):
+    period = 60.0 / bpm * sr
+    rng = np.random.default_rng(0)
+    out = []
+    t = 0.0
+    while t < duration_s * sr:
+        out.append(int(t) + (int(rng.integers(-jitter, jitter + 1)) if jitter else 0))
+        t += period
+    return [max(o, 0) for o in out]
+
+
+def test_autocorr_finds_fundamental():
+    onsets = grid_onsets(120.0, 20.0)
+    pos, valid = onset_tensor_samples([onsets])
+    t_padded = 20 * SR
+    ac = legacy.autocorr_candidates(pos, valid, t_padded, SR, 512, 40.0, 240.0)
+    bpms = np.asarray(ac.bpm[0])[np.asarray(ac.valid[0])]
+    assert len(bpms) > 0
+    # top candidate should be 120 or a metrical relative
+    top = bpms[0]
+    assert any(abs(top / 120.0 - r) < 0.06 for r in (1.0, 0.5, 2.0)), top
+
+
+def test_comb_scores_correct_bpm_highest():
+    onsets = grid_onsets(128.0, 20.0)
+    pos, valid = onset_tensor_samples([onsets])
+    comb = legacy.comb_candidates(pos, valid, 20 * SR, SR, 40.0, 240.0, 1.0)
+    bpms = np.asarray(comb.bpm[0])[np.asarray(comb.valid[0])]
+    confs = np.asarray(comb.confidence[0])[np.asarray(comb.valid[0])]
+    assert confs[0] == 1.0
+    # every metrical divisor of 128 aligns perfectly; winner must divide 128
+    assert any(abs(bpms[0] - v) < 1.5 for v in (128.0, 64.0)), bpms[:5]
+
+
+def test_estimate_bpm_legacy_end_to_end():
+    tracks = [grid_onsets(120.0, 25.0), grid_onsets(95.0, 25.0)]
+    pos, valid = onset_tensor_samples(tracks)
+    out = legacy.estimate_bpm_legacy(pos, valid, 25 * SR, SR, CFG)
+    assert bool(out["ok"][0]) and bool(out["ok"][1])
+    for i, want in enumerate([120.0, 95.0]):
+        got = float(out["bpm"][i])
+        ratio = max(got / want, want / got)
+        assert min(abs(ratio - r) for r in (1.0, 2.0)) < 0.05, (got, want)
+        assert float(out["confidence"][i]) > 0.0
+
+
+def test_too_few_onsets():
+    pos, valid = onset_tensor_samples([[1000]])
+    out = legacy.estimate_bpm_legacy(pos, valid, 5 * SR, SR, CFG)
+    assert not bool(out["ok"][0])
+
+
+def test_guardrails_cap_extreme():
+    # all onsets at 30 BPM (outside soft range 60-210 lower bound)
+    onsets = grid_onsets(30.0, 30.0)
+    pos, valid = onset_tensor_samples([onsets])
+    out = legacy.estimate_bpm_legacy(pos, valid, 30 * SR, SR, CFG)
+    # the 30 BPM fundamental would be outside min_bpm=40 anyway; the estimate
+    # lands on a metrical relative; just assert confidence is finite and bounded
+    assert 0.0 <= float(out["confidence"][0]) <= 2.0

@@ -1,0 +1,81 @@
+"""STFT frontend parity tests vs a naive per-frame reference implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stratum_dsp_tpu.ops import stft as stft_mod
+from stratum_dsp_tpu.testing import kick_pattern, pad_batch
+
+
+def naive_stft(x: np.ndarray, frame_size: int, hop: int) -> np.ndarray:
+    """Reference semantics (chroma/extractor.rs:301-359): Hann with (n-1)
+    denominator, rfft magnitude of the first frame_size/2+1 bins."""
+    n = (len(x) - frame_size) // hop + 1
+    i = np.arange(frame_size)
+    w = 0.5 * (1.0 - np.cos(2 * np.pi * i / (frame_size - 1)))
+    frames = np.stack([x[j * hop : j * hop + frame_size] * w for j in range(n)])
+    return np.abs(np.fft.rfft(frames, axis=-1)).astype(np.float32)
+
+
+def collect_spec(samples, lengths, frame_size, hop, chunk_frames=64):
+    """Materialize the streamed magnitudes for testing."""
+
+    def reducer(spec, fidx, fvalid, carry):
+        return {"spec": spec}, carry
+
+    outs, nf_padded, frame_counts = stft_mod.stft_reduce(
+        jnp.asarray(samples),
+        jnp.asarray(lengths),
+        frame_size,
+        hop,
+        reducer,
+        lambda b: jnp.zeros((b,)),
+        chunk_frames=chunk_frames,
+    )
+    return np.asarray(outs["spec"]), np.asarray(frame_counts)
+
+
+def test_stft_matches_naive():
+    x = kick_pattern(120.0, 3.0)
+    y = kick_pattern(128.0, 2.0)
+    samples, lengths = pad_batch([x, y])
+    spec, counts = collect_spec(samples, lengths, 2048, 512)
+
+    for b, trk in enumerate([x, y]):
+        ref = naive_stft(trk, 2048, 512)
+        assert counts[b] == ref.shape[0]
+        got = spec[b, : counts[b]]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        # padding frames are zeroed
+        assert np.all(spec[b, counts[b] :] == 0.0)
+
+
+def test_stft_hop_variants():
+    x = kick_pattern(100.0, 2.0)
+    samples, lengths = pad_batch([x])
+    for frame, hop in [(2048, 256), (2048, 1024), (8192, 512)]:
+        if len(x) < frame:
+            continue
+        spec, counts = collect_spec(samples, lengths, frame, hop, chunk_frames=32)
+        ref = naive_stft(x, frame, hop)
+        np.testing.assert_allclose(spec[0, : counts[0]], ref, rtol=3e-4, atol=3e-4)
+
+
+def test_extract_frames_matches_gather():
+    rng = np.random.default_rng(7)
+    region = rng.standard_normal((2, 6 * 512 + 2048)).astype(np.float32)
+    n_frames, frame, hop = 7, 2048, 512
+    fast = np.asarray(stft_mod.extract_frames(jnp.asarray(region), n_frames, frame, hop))
+    for j in range(n_frames):
+        np.testing.assert_array_equal(fast[:, j], region[:, j * hop : j * hop + frame])
+
+
+def test_mel_filterbank_shape_and_coverage():
+    w = stft_mod.mel_filterbank_matrix(44100, 1025, 40, 30.0, 8000.0)
+    assert w.shape == (1025, 40)
+    assert (w >= 0).all()
+    # every filter has positive mass
+    assert (w.sum(axis=0) > 0).all()
+    # no energy above fmax bin (generous slack for rounding)
+    fmax_bin = int(round(8000.0 / (44100 / 2048))) + 2
+    assert w[fmax_bin + 1 :, :].sum() == 0
