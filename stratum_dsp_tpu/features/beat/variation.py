@@ -239,7 +239,11 @@ def refine_beats(
     merged_nonempty = jnp.any(seg_valid, axis=-1)
     use_refined = has_variation & merged_nonempty
 
-    cap = seg_times.shape[-1]
+    cap = max(seg_times.shape[-1], mb)
+    spad = cap - seg_times.shape[-1]
+    seg_times = jnp.pad(seg_times, ((0, 0), (0, spad)))
+    seg_conf = jnp.pad(seg_conf, ((0, 0), (0, spad)))
+    seg_valid = jnp.pad(seg_valid, ((0, 0), (0, spad)))
     pad = cap - mb
     orig_times = jnp.pad(jnp.where(beats.valid, beats.times, 0.0), ((0, 0), (0, pad)))
     orig_conf = jnp.pad(jnp.where(beats.valid, beats.confidence, 0.0), ((0, 0), (0, pad)))

@@ -72,7 +72,7 @@ def vote_onsets(
     boundary = ((pos - prev) > tol) | (jnp.arange(c) == 0)
     seg = jnp.cumsum(boundary.astype(jnp.int32), axis=-1) - 1  # [B, C] cluster ids
     # entry's offset from its cluster's first onset (small, overflow-safe)
-    seg_first_entry = jax.lax.cummax(jnp.where(boundary, pos, -(2**30)), axis=-1)
+    seg_first_entry = jax.lax.cummax(jnp.where(boundary, pos, -(2**30)), axis=1)
     rel = pos - seg_first_entry
 
     def seg_sum(vals, ids):

@@ -50,6 +50,9 @@ def peaks_to_positions(
     pos = jnp.broadcast_to(jnp.asarray(positions, jnp.int32), peak.shape)
     key = jnp.where(peak, pos, INT_BIG)
     s = jnp.sort(key, axis=-1)[..., :k]
+    if s.shape[-1] < k:  # capacity exceeds available slots: pad
+        pad = [(0, 0)] * (s.ndim - 1) + [(0, k - s.shape[-1])]
+        s = jnp.pad(s, pad, constant_values=INT_BIG)
     return jnp.where(s == INT_BIG, 0, s), s != INT_BIG
 
 

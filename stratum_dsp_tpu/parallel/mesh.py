@@ -49,19 +49,30 @@ def analyze_batch_sharded(
 
     fn = jax.jit(
         analyze_batch_arrays,
-        static_argnames=("cfg", "sample_rate", "caps"),
+        static_argnums=(2, 3, 4),
         in_shardings=(data_sharding, data_sharding),
         out_shardings=data_sharding,
     )
     samples = jax.device_put(samples, data_sharding)
     lengths = jax.device_put(lengths, data_sharding)
     del replicated
-    return fn(samples, lengths, cfg=cfg, sample_rate=sample_rate, caps=caps)
+    return fn(samples, lengths, cfg, sample_rate, caps)
 
 
 def dryrun_multichip(n_devices: int) -> None:
     """Create an n-device mesh, jit the FULL analysis step sharded over it,
     and run one step on tiny shapes (driver validation hook)."""
+    import os
+
+    # The axon TPU plugin in this environment overrides the JAX_PLATFORMS
+    # env var; when the caller requested virtual CPU devices via XLA_FLAGS,
+    # force the CPU platform explicitly (a config update is the only thing
+    # that works here).
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # backend already initialized — use what we have
+            pass
     devices = jax.devices()[:n_devices]
     assert len(devices) == n_devices, (
         f"need {n_devices} devices, have {len(devices)}"
