@@ -112,30 +112,37 @@ def track_beats(
     emission = jnp.where(frame_valid, emission, 0.0)
 
     # Viterbi (multiplicative, f32, like the reference; emissions are
-    # state-independent so this only determines the reported state sequence)
-    trans = transition_matrix()  # [S, S]
-    em_t = jnp.broadcast_to(emission[:, :, None], (b, max_beats, NUM_STATES))
+    # state-independent so this only determines the reported state sequence).
+    # On TPU the decode runs as a single Pallas kernel (ops/viterbi_pallas);
+    # elsewhere as the equivalent lax.scan.
+    if jax.default_backend() == "tpu":
+        from ...ops.viterbi_pallas import viterbi_decode
 
-    def fwd(carry, em):
-        # carry: [B, S] best path prob; em: [B, S]
-        scores = carry[:, :, None] * trans[None, :, :]  # [B, prev, s]
-        best_prev = jnp.argmax(scores, axis=1)  # [B, S]
-        best_prob = jnp.max(scores, axis=1)
-        new = best_prob * em
-        return new, best_prev
+        states = viterbi_decode(emission)
+    else:
+        trans = transition_matrix()  # [S, S]
+        em_t = jnp.broadcast_to(emission[:, :, None], (b, max_beats, NUM_STATES))
 
-    init = jnp.full((b, NUM_STATES), 1.0 / NUM_STATES) * em_t[:, 0]
-    last_probs, backptrs = jax.lax.scan(fwd, init, jnp.moveaxis(em_t[:, 1:], 1, 0))
-    final_state = jnp.argmax(last_probs, axis=-1)  # [B]
+        def fwd(carry, em):
+            # carry: [B, S] best path prob; em: [B, S]
+            scores = carry[:, :, None] * trans[None, :, :]  # [B, prev, s]
+            best_prev = jnp.argmax(scores, axis=1)  # [B, S]
+            best_prob = jnp.max(scores, axis=1)
+            new = best_prob * em
+            return new, best_prev
 
-    def back(state, bp):
-        prev = jnp.take_along_axis(bp, state[:, None], axis=-1)[:, 0]
-        return prev, prev
+        init = jnp.full((b, NUM_STATES), 1.0 / NUM_STATES) * em_t[:, 0]
+        last_probs, backptrs = jax.lax.scan(fwd, init, jnp.moveaxis(em_t[:, 1:], 1, 0))
+        final_state = jnp.argmax(last_probs, axis=-1)  # [B]
 
-    _, rev_states = jax.lax.scan(back, final_state, jnp.flip(backptrs, axis=0))
-    states = jnp.concatenate(
-        [jnp.flip(jnp.moveaxis(rev_states, 0, 1), axis=1), final_state[:, None]], axis=1
-    )  # [B, MB]
+        def back(state, bp):
+            prev = jnp.take_along_axis(bp, state[:, None], axis=-1)[:, 0]
+            return prev, prev
+
+        _, rev_states = jax.lax.scan(back, final_state, jnp.flip(backptrs, axis=0))
+        states = jnp.concatenate(
+            [jnp.flip(jnp.moveaxis(rev_states, 0, 1), axis=1), final_state[:, None]], axis=1
+        )  # [B, MB]
 
     is_beat = frame_valid & (emission > EMISSION_THRESHOLD)
     align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)

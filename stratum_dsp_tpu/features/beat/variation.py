@@ -101,50 +101,72 @@ def refine_beats(
 
     csum_d, csum_d2 = interval_stats_prefix(bt, n_beats)
 
-    def segment_bounds(s):
-        start = t0 + s * hop
-        end = jnp.minimum(start + seg_dur, tlast)
-        exists = segmentable & (start < tlast)
-        return start, end, exists
+    # ---- carry-independent per-segment quantities, vectorized over S ----
+    # (only the Bayesian BPM update is sequential; hoisting everything else
+    # out of the scan cuts XLA compile time by an order of magnitude)
+    S = max_segments
+    K = ot.shape[-1]
+    s_arr = jnp.arange(S, dtype=jnp.float32)
+    start = t0[:, None] + s_arr[None, :] * hop[:, None]  # [B, S]
+    end = jnp.minimum(start + seg_dur[:, None], tlast[:, None])
+    exists = segmentable[:, None] & (start < tlast[:, None])
 
-    def beat_range(start, end):
-        i0 = jax.vmap(jnp.searchsorted, (0, 0, None))(bt, start, "left")
-        i1 = jax.vmap(jnp.searchsorted, (0, 0, None))(bt, end, "right")
-        i1 = jnp.minimum(i1, n_beats)
-        return i0, i1
+    ss = jax.vmap(jnp.searchsorted, (0, 0, None))
+    i0 = ss(bt, start, "left")
+    i1 = jnp.minimum(ss(bt, end, "right"), n_beats[:, None])
+    cnt = i1 - i0
+    n_int = jnp.maximum(cnt - 1, 0)
+    hi_idx = jnp.maximum(i1 - 1, 0)
+    ssum = jnp.take_along_axis(csum_d, hi_idx, axis=-1) - jnp.take_along_axis(csum_d, i0, axis=-1)
+    ssum2 = jnp.take_along_axis(csum_d2, hi_idx, axis=-1) - jnp.take_along_axis(csum_d2, i0, axis=-1)
+    nf = jnp.maximum(n_int, 1).astype(jnp.float32)
+    mean = ssum / nf
+    var = jnp.maximum(ssum2 / nf - mean * mean, 0.0)
+    cv = jnp.where(mean > EPSILON, jnp.sqrt(var) / mean, 0.0)
+    seg_ok = exists & (cnt >= 3) & (n_int > 0)
+    is_var_all = seg_ok & (cv > TEMPO_VARIATION_THRESHOLD)  # [B, S]
 
-    def onset_range(start, end):
-        j0 = jax.vmap(jnp.searchsorted, (0, 0, None))(ot, start, "left")
-        j1 = jax.vmap(jnp.searchsorted, (0, 0, None))(ot, end, "right")
-        j1 = jnp.minimum(j1, n_onsets)
-        return j0, j1
+    j0 = ss(ot, start, "left")
+    j1 = jnp.minimum(ss(ot, end, "right"), n_onsets[:, None])
+    has_onsets_all = (j1 - j0) >= 1
+    onset_idx = jnp.arange(K)
+    omask_all = (onset_idx[None, None, :] >= j0[..., None]) & (
+        onset_idx[None, None, :] < j1[..., None]
+    )  # [B, S, K]
+    seg_first_onset_all = jnp.take_along_axis(ot, jnp.minimum(j0, K - 1), axis=-1)
+    seg_last_onset_all = jnp.take_along_axis(ot, jnp.maximum(j1 - 1, 0), axis=-1)
 
-    onset_idx = jnp.arange(ot.shape[-1])
+    # constant-segment beats: earliest seg_beat_cap original beats per segment
+    beat_idx = jnp.arange(mb)
+    in_seg_all = (beat_idx[None, None, :] >= i0[..., None]) & (
+        beat_idx[None, None, :] < i1[..., None]
+    )  # [B, S, mb]
+    key_all = jnp.where(in_seg_all, bt[:, None, :], BIG)
+    if mb < seg_beat_cap:
+        pad_w = ((0, 0), (0, 0), (0, seg_beat_cap - mb))
+        key_all = jnp.pad(key_all, pad_w, constant_values=BIG)
+        bt_b = jnp.pad(bt, ((0, 0), (0, seg_beat_cap - mb)))
+        bconf_b = jnp.pad(bconf, ((0, 0), (0, seg_beat_cap - mb)))
+        in_seg_p = jnp.pad(in_seg_all, pad_w)
+    else:
+        bt_b, bconf_b, in_seg_p = bt, bconf, in_seg_all
+    order_c = jnp.argsort(key_all, axis=-1)[..., :seg_beat_cap]  # [B, S, cap]
+    times_c_all = jnp.take_along_axis(bt_b[:, None, :], order_c, axis=-1)
+    conf_c_all = jnp.take_along_axis(bconf_b[:, None, :], order_c, axis=-1)
+    valid_c_all = jnp.take_along_axis(in_seg_p, order_c, axis=-1)
+    times_c_all = jnp.where(valid_c_all, times_c_all, 0.0)
+
+    fidx = jnp.arange(seg_beat_cap, dtype=jnp.float32)
 
     def bayes_step(carry, s):
         cur_bpm, _cur_conf = carry
-        start, end, exists = segment_bounds(s.astype(jnp.float32))
-        i0, i1 = beat_range(start, end)
-        cnt = i1 - i0
-        # interval CV over beats [i0, i1)
-        n_int = jnp.maximum(cnt - 1, 0)
-        ssum = jnp.take_along_axis(csum_d, jnp.maximum(i1 - 1, 0)[:, None], axis=-1)[:, 0] - \
-            jnp.take_along_axis(csum_d, i0[:, None], axis=-1)[:, 0]
-        ssum2 = jnp.take_along_axis(csum_d2, jnp.maximum(i1 - 1, 0)[:, None], axis=-1)[:, 0] - \
-            jnp.take_along_axis(csum_d2, i0[:, None], axis=-1)[:, 0]
-        nf = jnp.maximum(n_int, 1).astype(jnp.float32)
-        mean = ssum / nf
-        var = jnp.maximum(ssum2 / nf - mean * mean, 0.0)
-        cv = jnp.where(mean > EPSILON, jnp.sqrt(var) / mean, 0.0)
-        seg_ok = exists & (cnt >= 3) & (n_int > 0)
-        is_var = seg_ok & (cv > TEMPO_VARIATION_THRESHOLD)
+        is_var = is_var_all[:, s]
+        has_onsets = has_onsets_all[:, s]
+        omask = omask_all[:, s]
+        seg_first_onset = seg_first_onset_all[:, s]
+        seg_last_onset = seg_last_onset_all[:, s]
 
-        # --- Bayesian update on segment onsets (variable segments only) ---
-        j0, j1 = onset_range(start, end)
-        has_onsets = (j1 - j0) >= 1
-        omask = (onset_idx[None, :] >= j0[:, None]) & (onset_idx[None, :] < j1[:, None])
-        seg_first_onset = jnp.take_along_axis(ot, jnp.minimum(j0, ot.shape[-1] - 1)[:, None], axis=-1)[:, 0]
-
+        # Bayesian candidates around the running estimate (bayesian.rs:183-195)
         min_c = jnp.maximum(cur_bpm - 5.0, 60.0)
         max_c = jnp.minimum(cur_bpm + 5.0, 180.0)
         cand = min_c[:, None] + 0.5 * jnp.arange(N_CANDIDATES, dtype=jnp.float32)[None, :]
@@ -158,7 +180,6 @@ def refine_beats(
         cnt_o = jnp.maximum(jnp.sum(omask, axis=-1), 1).astype(jnp.float32)
         avg_logp = jnp.sum(jnp.where(omask[:, None, :], logp, 0.0), axis=-1) / cnt_o[:, None]
         lik = jnp.where(cand_ok, jnp.exp(avg_logp), -1.0)  # [B, C]
-        # reference keeps current bpm unless some likelihood > 0 strictly
         best_c = jnp.argmax(lik, axis=-1)
         best_lik = jnp.take_along_axis(lik, best_c[:, None], axis=-1)[:, 0]
         best_bpm = jnp.take_along_axis(cand, best_c[:, None], axis=-1)[:, 0]
@@ -173,53 +194,35 @@ def refine_beats(
         do_update = is_var & has_onsets
         cur_bpm = jnp.where(do_update, best_bpm, cur_bpm)
 
-        # --- per-segment beats ---
-        # variable: re-track on segment onsets at refined bpm
+        # variable-segment re-tracking at the refined tempo
         seg_interval = 60.0 / jnp.maximum(cur_bpm, EPSILON)
-        seg_last_onset = jnp.take_along_axis(
-            ot, jnp.maximum(j1 - 1, 0)[:, None], axis=-1
-        )[:, 0]
-        nfr = jnp.ceil(jnp.maximum(seg_last_onset - seg_first_onset, 0.0) / seg_interval).astype(jnp.int32) + 1
+        nfr = jnp.ceil(
+            jnp.maximum(seg_last_onset - seg_first_onset, 0.0) / seg_interval
+        ).astype(jnp.int32) + 1
         nfr = jnp.minimum(nfr, seg_beat_cap)
-        fidx = jnp.arange(seg_beat_cap, dtype=jnp.float32)
         times_v = seg_first_onset[:, None] + fidx[None, :] * seg_interval[:, None]
         fvalid = fidx[None, :] < nfr[:, None]
-        # nearest onset within the contiguous window [j0, j1)
+
         def win_dist(q, o, lo_i, hi_i):
             idx = jnp.searchsorted(o, q)
             lo = jnp.clip(idx - 1, lo_i, jnp.maximum(hi_i - 1, lo_i))
             hi = jnp.clip(idx, lo_i, jnp.maximum(hi_i - 1, lo_i))
-            d = jnp.minimum(jnp.abs(q - o[lo]), jnp.abs(q - o[hi]))
-            return jnp.where(hi_i > lo_i, d, BIG)
+            dd = jnp.minimum(jnp.abs(q - o[lo]), jnp.abs(q - o[hi]))
+            return jnp.where(hi_i > lo_i, dd, BIG)
 
-        dist = jax.vmap(win_dist)(times_v, ot, j0, j1)
+        dist = jax.vmap(win_dist)(times_v, ot, j0[:, s], j1[:, s])
         em = jnp.exp(-(dist * dist) / (2.0 * EMISSION_SIGMA * EMISSION_SIGMA))
         is_beat_v = fvalid & (em > EMISSION_THRESHOLD) & has_onsets[:, None]
         align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)
         conf_v = jnp.minimum(0.7 * em + 0.3 * align, 1.0)
 
-        # constant: original beats within [start, end] (cap at seg_beat_cap,
-        # taking the earliest; segments hold ~seg_dur*bpm/60 <= 25 beats)
-        in_seg = (jnp.arange(mb)[None, :] >= i0[:, None]) & (jnp.arange(mb)[None, :] < i1[:, None])
-        key = jnp.where(in_seg, bt, BIG)
-        if mb < seg_beat_cap:  # pad so slot counts line up with times_v
-            pad_w = ((0, 0), (0, seg_beat_cap - mb))
-            key = jnp.pad(key, pad_w, constant_values=BIG)
-            bt_p = jnp.pad(bt, pad_w)
-            bconf_p = jnp.pad(bconf, pad_w)
-            in_seg_p = jnp.pad(in_seg, pad_w)
-        else:
-            bt_p, bconf_p, in_seg_p = bt, bconf, in_seg
-        order = jnp.argsort(key, axis=-1)[:, :seg_beat_cap]
-        times_c = jnp.take_along_axis(bt_p, order, axis=-1)
-        conf_c = jnp.take_along_axis(bconf_p, order, axis=-1)
-        valid_c = jnp.take_along_axis(in_seg_p, order, axis=-1)
-        times_c = jnp.where(valid_c, times_c, 0.0)
-
         use_var = is_var[:, None]
-        seg_times = jnp.where(use_var, jnp.where(is_beat_v, times_v, 0.0), times_c)
-        seg_conf = jnp.where(use_var, jnp.where(is_beat_v, conf_v, 0.0), jnp.where(valid_c, conf_c, 0.0))
-        seg_valid = jnp.where(use_var, is_beat_v, valid_c) & seg_ok[:, None]
+        seg_times = jnp.where(use_var, jnp.where(is_beat_v, times_v, 0.0), times_c_all[:, s])
+        seg_conf = jnp.where(
+            use_var, jnp.where(is_beat_v, conf_v, 0.0),
+            jnp.where(valid_c_all[:, s], conf_c_all[:, s], 0.0),
+        )
+        seg_valid = jnp.where(use_var, is_beat_v, valid_c_all[:, s]) & seg_ok[:, s][:, None]
 
         return (cur_bpm, new_conf), (seg_times, seg_conf, seg_valid, is_var)
 

@@ -50,7 +50,7 @@ def estimate_tuning_streamed(
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
-    chunk_frames: int = 128,
+    chunk_frames: int = 1024,
 ) -> jax.Array:
     """Streamed tuning estimation over the *conditioned* key spectrogram
     (lib.rs:1090-1110): per-chunk partial circular sums, combined at the end.
@@ -111,7 +111,7 @@ def collect_hpss_mask(
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
-    chunk_frames: int = 128,
+    chunk_frames: int = 1024,
 ):
     """Pass A of the key HPSS-median-mask path (extractor.rs:1369-1501):
     collect the time-downsampled band-limited spectrogram and compute the
@@ -152,7 +152,7 @@ def extract_key_features(
     sample_rate: int,
     tuning_offset=0.0,
     hpss_mask=None,
-    chunk_frames: int = 128,
+    chunk_frames: int = 1024,
 ):
     """Stream the key STFT and emit per-frame (chroma [B, F, 12],
     energy [B, F], frame_counts [B]).

@@ -93,10 +93,10 @@ def test_energy_flux_kick_count():
 
 
 def test_flux_onsets_percentile():
-    # strictly increasing ramp -> no spurious local maxima; spikes only
+    # flat baseline: plateau fails the strict local-max and >threshold
+    # tests, so exactly the spikes are detected
     n = 120
-    curve = np.linspace(0.0, 0.1, n).astype(np.float32)
-    curve[-1] = 0.0  # defeat the last-element edge case
+    curve = np.full(n, 0.01, np.float32)
     spikes = [10, 40, 80]
     for s in spikes:
         curve[s] = 5.0

@@ -72,7 +72,10 @@ def test_lufs_sine_value():
             jnp.asarray(pad_batch([x])[0]), jnp.asarray([len(x)]), SAMPLE_RATE
         )[0]
     )
-    assert -4.5 < lufs < -2.5
+    # The reference builds its "K-weighting" as a HIGH-PASS at the BS.1770
+    # stage-1 shelf frequency (normalization.rs:131-158), so a 997 Hz tone
+    # sits ~9 dB below true BS.1770 loudness; we mirror that filter exactly.
+    assert -14.0 < lufs < -10.0
 
 
 def test_loudness_normalization_hits_target():
