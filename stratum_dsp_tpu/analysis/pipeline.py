@@ -60,7 +60,7 @@ class PipelineCaps:
     max_beats: int = 1024
     seg_beat_cap: int = 64
     max_segments: int = 48
-    chunk_frames: int = 512
+    chunk_frames: int = 1024
 
 
 def _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, top_n):
@@ -88,6 +88,7 @@ def analyze_batch_arrays(
     cfg: AnalysisConfig,
     sample_rate: int,
     caps: PipelineCaps = PipelineCaps(),
+    debug_stop_after: str = "",
 ) -> Dict[str, jax.Array]:
     """Run the full pipeline; returns a flat dict of result arrays [B, ...].
 
@@ -169,9 +170,13 @@ def analyze_batch_arrays(
         onsets_pos = jnp.where(use_consensus[:, None], c_pos, e_pos)
         onsets_valid = jnp.where(use_consensus[:, None], c_valid, e_valid)
 
+    if debug_stop_after == "onsets":
+        return {"pos": onsets_pos, "valid": onsets_valid}
     # --- legacy estimate (lib.rs:294-329) ---
     legacy = legacy_mod.estimate_bpm_legacy(onsets_pos, onsets_valid, t, sample_rate, cfg)
 
+    if debug_stop_after == "legacy":
+        return dict(legacy)
     # --- base tempogram (lib.rs:337-408) ---
     base_top_n = max(cfg.tempogram_candidates_top_n, cfg.tempogram_multi_res_top_k, 10)
     base = _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, base_top_n)
@@ -237,6 +242,8 @@ def analyze_batch_arrays(
                 cand_arrays[k],
             )
 
+    if debug_stop_after == "multires":
+        return {"bpm": chosen_bpm, "conf": chosen_conf}
     # --- percussive fallback (lib.rs:587-683) ---
     perc_needed = ambiguous & trap_low
     perc_used = jnp.zeros_like(perc_needed)
@@ -303,6 +310,8 @@ def analyze_batch_arrays(
     bpm = jnp.where(track_ok, bpm, 0.0)
     bpm_confidence = jnp.where(track_ok, bpm_confidence, 0.0)
 
+    if debug_stop_after == "bpm_select":
+        return {"bpm": bpm, "conf": bpm_confidence}
     # --- beat grid (lib.rs:913-958) ---
     onset_seconds = onsets_pos.astype(jnp.float32) / sample_rate
     grid = generate_beat_grid(
@@ -311,6 +320,8 @@ def analyze_batch_arrays(
         max_segments=caps.max_segments,
     )
 
+    if debug_stop_after == "grid":
+        return {"bpm": bpm, "stability": grid.stability}
     # --- key (lib.rs:961-1559) ---
     if cfg.enable_key_beat_synchronous:
         key = detect_key_batch(

@@ -45,6 +45,11 @@ def detect_downbeats(
     mb = times.shape[-1]
     slot_valid = jnp.arange(mb)[None, :] < n_beats[:, None]
 
+    if jax.default_backend() == "tpu":
+        from ...ops.downbeats_pallas import downbeat_mask
+
+        return downbeat_mask(times, n_beats, bar)
+
     def step(carry, inp):
         last_db, any_db = carry
         t, ok = inp
@@ -57,7 +62,8 @@ def detect_downbeats(
 
     init = (jnp.zeros_like(bpm), jnp.zeros_like(bpm, dtype=bool))
     _, db = jax.lax.scan(
-        step, init, (jnp.moveaxis(times, 1, 0), jnp.moveaxis(slot_valid, 1, 0))
+        step, init, (jnp.moveaxis(times, 1, 0), jnp.moveaxis(slot_valid, 1, 0)),
+        unroll=16,
     )
     return jnp.moveaxis(db, 0, 1)
 

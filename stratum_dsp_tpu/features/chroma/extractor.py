@@ -169,22 +169,32 @@ def frames_to_hpcp(
     extractor.rs:528-680). ``tuning_offset`` may be a traced scalar (it only
     shifts semitone positions)."""
     n_bins = spec.shape[-1]
-    freqs = bin_freqs(sample_rate, fft_size, n_bins)
+    freqs_full = bin_freqs(sample_rate, fft_size, n_bins)
     fmin = max(fmin_hz, 20.0)
     fmax = min(fmax_hz, sample_rate / 2)
     if fmax <= fmin:
         return jnp.zeros(spec.shape[:-1] + (12,), jnp.float32)
 
-    sel = spectral_whiten(spec, whitening_smooth_bins) if (
+    # Slice to the band before peak-picking: peaks AND their usable harmonics
+    # all live in [fmin, fmax] (frame_to_hpcp_tuned_band breaks at fmax), so
+    # the top_k (which XLA lowers to a full sort) runs over ~900 bins instead
+    # of 4097 — the dominant cost of the key path otherwise.
+    hi_bin = min(int(np.ceil(fmax / (sample_rate / fft_size))) + 2, n_bins)
+    spec_b = spec[..., :hi_bin]
+    freqs = freqs_full[:hi_bin]
+
+    sel = spectral_whiten(spec_b, whitening_smooth_bins) if (
         enable_whitening and whitening_smooth_bins >= 3
-    ) else spec
+    ) else spec_b
     prev = jnp.concatenate([sel[..., :1], sel[..., :-1]], axis=-1)
     nxt = jnp.concatenate([sel[..., 1:], sel[..., -1:]], axis=-1)
-    interior = (np.arange(n_bins) >= 1) & (np.arange(n_bins) < n_bins - 1)
+    # interior of the FULL spectrum: bins 1..n_bins-2 (the slice keeps bin
+    # hi_bin-1 interior because hi_bin includes padding above fmax)
+    interior = (np.arange(hi_bin) >= 1) & (np.arange(hi_bin) < n_bins - 1)
     in_band = (freqs >= fmin) & (freqs <= fmax)
     peak_ok = jnp.asarray(interior & in_band) & (sel > prev) & (sel >= nxt)
 
-    k_top = max(min(peaks_per_frame, n_bins), 1)
+    k_top = max(min(peaks_per_frame, hi_bin), 1)
     peak_vals = jnp.where(peak_ok, sel, -jnp.inf)
     top_vals, top_idx = jax.lax.top_k(peak_vals, k_top)  # [..., k_top]
     valid = jnp.isfinite(top_vals)

@@ -70,5 +70,5 @@ def dedup_min_distance(pos: jax.Array, valid: jax.Array, min_dist: int) -> jax.A
     init = jnp.full(pos.shape[:-1], -(2**30), dtype=pos.dtype)
     pt = jnp.moveaxis(pos, -1, 0)
     vt = jnp.moveaxis(valid, -1, 0)
-    _, keeps = jax.lax.scan(step, init, (pt, vt))
+    _, keeps = jax.lax.scan(step, init, (pt, vt), unroll=16)
     return jnp.moveaxis(keeps, 0, -1)

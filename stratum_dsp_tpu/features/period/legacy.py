@@ -241,7 +241,7 @@ def _limit_autocorr(ac: CandidateList) -> CandidateList:
         return kept_bpms, keep
 
     init = jnp.full(ac.bpm.shape, BIG)
-    _, keeps = jax.lax.scan(step, init, jnp.arange(c))
+    _, keeps = jax.lax.scan(step, init, jnp.arange(c), unroll=8)
     keep = jnp.moveaxis(keeps, 0, 1)
     # compact to AC_CAP slots, preserving order
     order = jnp.argsort(~keep, axis=-1, stable=True)[:, :AC_CAP]
@@ -314,7 +314,7 @@ def merge_bpm_candidates(
 
     zeros = jnp.zeros((b, n))
     (g_bpm, g_conf, g_cnt, g_max), _ = jax.lax.scan(
-        gstep, (zeros, zeros, zeros, zeros), jnp.arange(n)
+        gstep, (zeros, zeros, zeros, zeros), jnp.arange(n), unroll=4
     )
     g_valid = g_cnt > 0
 

@@ -36,7 +36,12 @@ HOPS = (256, 512, 1024)
 DEDUP_TOL = 0.75
 MAX_UNIQUE = 8
 FAMILY_FACTORS = (1.0, 1.5, 2.0 / 3.0, 4.0 / 3.0, 0.75)
-PHASE_CAP = 128  # covers periods for bpm >= ~40 at 86 fps; fold gates need >= 70
+# The family search only evaluates candidates in [70, 180] BPM
+# (multi_resolution.rs:773-780), i.e. hop-512 periods of 28.7..73.8 frames:
+# cap phases at 80 and sample counts at n/PERIOD_MIN. These caps size the
+# phase-search gather tensor, the dominant multi-res cost.
+PHASE_CAP = 80
+PERIOD_MIN = 24
 
 
 def hop_candidates(
@@ -49,7 +54,7 @@ def hop_candidates(
 ):
     """One hop's tempogram candidate list + its full-band novelty curve."""
     feats, frame_counts, _ = nov.compute_bpm_spectral_features(
-        samples, lengths, cfg, sample_rate, cfg.frame_size, hop
+        samples, lengths, cfg, sample_rate, cfg.frame_size, hop, chunk_frames=1024
     )
     curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
     frame_rate = sample_rate / hop
@@ -85,7 +90,8 @@ def beat_contrast_score(
         & (period >= 3)
         & (period <= min(PHASE_CAP, 512))
     )
-    p = jnp.clip(period, 3, PHASE_CAP)  # [B, F]
+    ok = ok & (period >= PERIOD_MIN)  # family gates guarantee this; belt+braces
+    p = jnp.clip(period, PERIOD_MIN, PHASE_CAP)  # [B, F]
 
     # windowed max +/-2 frames, masked outside valid range
     novm = jnp.where(masked.length_mask(n_valid, n), novelty, 0.0)
@@ -95,7 +101,7 @@ def beat_contrast_score(
     total = jnp.maximum(jnp.sum(novm, axis=-1), EPSILON)  # [B]
     mean_nov = jnp.maximum(total / jnp.maximum(n_valid, 1), EPSILON)  # [B]
 
-    samp_cap = n // 3 + 1
+    samp_cap = n // PERIOD_MIN + 1
     karr = jnp.arange(samp_cap)  # [S]
     phases = jnp.arange(PHASE_CAP)  # [P]
 
@@ -238,7 +244,7 @@ def multi_resolution_estimate(
         return kept, keep
 
     kinit = jnp.full(sb.shape, jnp.inf)
-    _, keeps = jax.lax.scan(dstep, kinit, jnp.arange(sb.shape[-1]))
+    _, keeps = jax.lax.scan(dstep, kinit, jnp.arange(sb.shape[-1]), unroll=8)
     keep = jnp.moveaxis(keeps, 0, 1)
     rank = jnp.cumsum(keep, axis=-1)
     keep = keep & (rank <= MAX_UNIQUE)

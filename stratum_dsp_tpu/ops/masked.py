@@ -272,7 +272,7 @@ def greedy_dedup_sorted(values: jax.Array, valid: jax.Array, tol: float) -> jax.
     init = jnp.full(values.shape[:-1], -jnp.inf, dtype=values.dtype)
     vt = jnp.moveaxis(values, -1, 0)
     mt = jnp.moveaxis(valid, -1, 0)
-    _, keeps = jax.lax.scan(step, init, (vt, mt))
+    _, keeps = jax.lax.scan(step, init, (vt, mt), unroll=16)
     return jnp.moveaxis(keeps, 0, -1)
 
 

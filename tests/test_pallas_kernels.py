@@ -1,0 +1,50 @@
+"""Pallas kernels (interpret mode) vs their XLA-scan references."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stratum_dsp_tpu.ops.downbeats_pallas import downbeat_mask
+from stratum_dsp_tpu.ops.viterbi_pallas import viterbi_decode, _transition_matrix
+
+
+def test_downbeat_kernel_matches_scan(rng):
+    b, n = 3, 64
+    times = np.sort(rng.uniform(0, 30, (b, n)).astype(np.float32), axis=-1)
+    n_beats = np.asarray([64, 40, 0], np.int32)
+    bar = np.asarray([2.0, 1.5, 2.0], np.float32)
+
+    got = np.asarray(downbeat_mask(jnp.asarray(times), jnp.asarray(n_beats), jnp.asarray(bar), True))
+
+    for bi in range(b):
+        last, any_db = 0.0, False
+        ref = np.zeros(n, bool)
+        for i in range(int(n_beats[bi])):
+            t = times[bi, i]
+            if not any_db:
+                ref[i] = True
+            elif abs(t - (last + bar[bi])) <= bar[bi] * 0.1:
+                ref[i] = True
+            if ref[i]:
+                last, any_db = t, True
+        np.testing.assert_array_equal(got[bi], ref)
+
+
+def test_viterbi_kernel_matches_reference(rng):
+    b, t = 2, 128
+    em = rng.uniform(0.01, 1.0, (b, t)).astype(np.float32)
+    got = np.asarray(viterbi_decode(jnp.asarray(em), True))
+
+    trans = _transition_matrix()
+    for bi in range(b):
+        v = np.full(5, 1 / 5, np.float32) * em[bi, 0]
+        bps = np.zeros((t, 5), np.int64)
+        for i in range(1, t):
+            scores = v[:, None] * trans
+            bps[i] = np.argmax(scores, axis=0)
+            v = scores.max(axis=0).astype(np.float32) * em[bi, i]
+        states = np.zeros(t, np.int64)
+        states[-1] = np.argmax(v)
+        for i in range(t - 1, 0, -1):
+            states[i - 1] = bps[i][states[i]]
+        np.testing.assert_array_equal(got[bi], states)
