@@ -1,0 +1,1 @@
+"""Feature extraction: onsets, periodicity (BPM), chroma, key, beat tracking."""

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import AnalysisConfig
 from ..features.period import novelty as nov
 from ..ops import masked as masked_ops
-from ..ops.stft import extract_frames, hann_window
+from ..ops.stft import DFT_MATMUL_MAX, dft_basis, extract_frames, hann_window, stft_magnitude_chunk
 
 
 def compute_bpm_spectral_features_sharded(
@@ -83,7 +83,7 @@ def compute_bpm_spectral_features_sharded(
         # ext = global frame (ti*frames_per_block - 1 + j)
         n_ext_frames = frames_per_block + 1
         frames = extract_frames(ext, n_ext_frames, frame_size, hop)
-        spec = jnp.abs(jnp.fft.rfft(frames * window, axis=-1)).astype(jnp.float32)
+        spec = stft_magnitude_chunk(frames, window)
 
         first_global = ti * frames_per_block - 1
         fidx = first_global + jnp.arange(n_ext_frames)
