@@ -203,14 +203,21 @@ def refine_beats(
         times_v = seg_first_onset[:, None] + fidx[None, :] * seg_interval[:, None]
         fvalid = fidx[None, :] < nfr[:, None]
 
-        def win_dist(q, o, lo_i, hi_i):
-            idx = jnp.searchsorted(o, q)
-            lo = jnp.clip(idx - 1, lo_i, jnp.maximum(hi_i - 1, lo_i))
-            hi = jnp.clip(idx, lo_i, jnp.maximum(hi_i - 1, lo_i))
-            dd = jnp.minimum(jnp.abs(q - o[lo]), jnp.abs(q - o[hi]))
-            return jnp.where(hi_i > lo_i, dd, BIG)
+        # nearest segment onset per grid slot, onset-centric: each onset
+        # claims its floor/ceil grid slots (exact for any distance < one
+        # beat interval; larger distances give emission ~0 either way).
+        # This keeps sequential searchsorted loops out of the scan body.
+        rel_o = ot - seg_first_onset[:, None]  # [B, K]
+        bi_f = jnp.floor(rel_o / seg_interval[:, None])
+        d_f = jnp.abs(rel_o - bi_f * seg_interval[:, None])
+        d_c = jnp.abs((bi_f + 1.0) * seg_interval[:, None] - rel_o)
+        slots = jnp.arange(seg_beat_cap, dtype=jnp.float32)
 
-        dist = jax.vmap(win_dist)(times_v, ot, j0[:, s], j1[:, s])
+        def claim_min(bi, dd):
+            m = (bi[:, :, None] == slots[None, None, :]) & omask[:, :, None]
+            return jnp.min(jnp.where(m, dd[:, :, None], BIG), axis=1)
+
+        dist = jnp.minimum(claim_min(bi_f, d_f), claim_min(bi_f + 1.0, d_c))
         em = jnp.exp(-(dist * dist) / (2.0 * EMISSION_SIGMA * EMISSION_SIGMA))
         is_beat_v = fvalid & (em > EMISSION_THRESHOLD) & has_onsets[:, None]
         align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)

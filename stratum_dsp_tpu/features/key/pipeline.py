@@ -26,6 +26,17 @@ from .detector import KeyResult
 
 EPSILON = 1e-12
 
+# Frame-chunk element budget for the streamed key STFT: bounds the
+# [B, chunk, frame_size] frames buffer (~230 MB at the default) so large
+# batches don't OOM, while keeping chunks big enough that the scan does not
+# serialize the chip.
+CHUNK_ELEMENT_BUDGET = 60_000_000
+
+
+def _auto_chunk(b: int, frame_size: int, requested: int) -> int:
+    cap = max(CHUNK_ELEMENT_BUDGET // max(b * frame_size, 1), 128)
+    return int(min(requested, cap))
+
 
 def _condition_chunk(spec, fvalid, cfg: AnalysisConfig, halo: int):
     """Apply the configured conditioning to an extended chunk; the caller
@@ -92,6 +103,7 @@ def estimate_tuning_streamed(
         }
         return outs, carry
 
+    chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, _, _ = stft_reduce(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
         chunk_frames=chunk_frames, halo=halo,
@@ -132,6 +144,7 @@ def collect_hpss_mask(
         bvalid = fvalid[:, ::step]
         return {"band": jnp.where(bvalid[..., None], band, 0.0), "bvalid": bvalid}, carry
 
+    chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, _, frame_counts = stft_reduce(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
         chunk_frames=chunk_frames,
@@ -254,6 +267,7 @@ def extract_key_features(
         energy = jnp.where(central_valid, energy, 0.0)
         return {"chroma": ch, "energy": energy}, carry
 
+    chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, nf_padded, frame_counts = stft_reduce(
         samples,
         lengths,

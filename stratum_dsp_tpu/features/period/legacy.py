@@ -162,24 +162,39 @@ def comb_candidates(
         COMB_MAX_TOLERANCE,
     ) * period
 
-    n_beats_cap = int(np.ceil(t_padded / period.min())) + 2
-    beat_idx = np.arange(n_beats_cap, dtype=np.float32)
-    beats = jnp.asarray(period[:, None] * beat_idx[None, :])  # [n_bpm, NBeats]
-
+    # Onset-centric alignment count (beat-centric in the reference,
+    # comb_filter.rs:355-380): a beat k is "aligned" iff its nearest onset is
+    # within tol. Because tol <= 0.15*period < period/2, an onset within tol
+    # of beat k necessarily has k as its *nearest* beat (round(o/period)), so
+    # counting DISTINCT claimed beats among onsets with |o - k*period| <= tol
+    # is exactly the reference count — with zero sequential searchsorted
+    # loops. Distinctness uses the fact that k is nondecreasing over the
+    # sorted onset list: an onset is a duplicate iff the previous *hit* onset
+    # claimed the same k (prefix cummax of hit indices + gather).
     sorted_pos = jnp.sort(
         jnp.where(onset_valid, onset_pos, jnp.iinfo(jnp.int32).max), axis=-1
     ).astype(jnp.float32)
     n_valid = jnp.sum(onset_valid, axis=-1)
     last = jnp.max(jnp.where(onset_valid, onset_pos, 0), axis=-1).astype(jnp.float32)
 
-    q = jnp.broadcast_to(beats[None], (b, n_bpm, n_beats_cap))
-    dist = _nearest_onset_distance_sorted(q.reshape(b, -1), sorted_pos, n_valid).reshape(
-        b, n_bpm, n_beats_cap
-    )
-    # beats considered: idx < ceil(last/period) + 1 (comb_filter.rs:355-357)
+    ovalid = jnp.arange(k)[None, :] < n_valid[:, None]  # [B, K]
+    period_j = jnp.asarray(period)[None, :, None]  # [1, n_bpm, 1]
+    o = sorted_pos[:, None, :]  # [B, 1, K]
+    k_idx = jnp.round(o / period_j).astype(jnp.int32)  # [B, n_bpm, K]
+    d = jnp.abs(o - k_idx.astype(jnp.float32) * period_j)
+    hit = (d <= jnp.asarray(tol)[None, :, None]) & ovalid[:, None, :]
+
+    j_arr = jnp.arange(k)
+    hit_j = jnp.where(hit, j_arr[None, None, :], -1)
+    last_hit_before = jnp.concatenate(
+        [jnp.full_like(hit_j[..., :1], -1), jax.lax.cummax(hit_j, axis=2)[..., :-1]],
+        axis=-1,
+    )  # index of the last hit strictly before j
+    k_prev = jnp.take_along_axis(k_idx, jnp.maximum(last_hit_before, 0), axis=-1)
+    dup = hit & (last_hit_before >= 0) & (k_prev == k_idx)
+    aligned = jnp.sum(hit & ~dup, axis=-1)  # [B, n_bpm] distinct aligned beats
+
     n_beats = jnp.ceil(last[:, None] / jnp.asarray(period)[None, :]) + 1  # [B, n_bpm]
-    beat_ok = beat_idx[None, None, :] < n_beats[:, :, None]
-    aligned = jnp.sum((dist <= jnp.asarray(tol)[None, :, None]) & beat_ok, axis=-1)
     score = aligned / jnp.maximum(n_beats, 1.0)
 
     enough = n_valid >= 2
@@ -439,3 +454,67 @@ def estimate_bpm_legacy(
     enough = jnp.sum(onset_valid, axis=-1) >= 2
     out["ok"] = out["ok"] & enough
     return out
+
+
+def coarse_to_fine_search(
+    onset_pos: jax.Array,
+    onset_valid: jax.Array,
+    t_padded: int,
+    sample_rate: int,
+    min_bpm: float,
+    max_bpm: float,
+    refinement_range: float = 5.0,
+) -> CandidateList:
+    """Two-stage comb search (comb_filter.rs:256-327): coarse 2.0-BPM grid,
+    then a 0.5-BPM grid of ±refinement_range around each track's coarse best.
+
+    TPU-native: the fine stage evaluates a per-track candidate set
+    ``coarse_best + offsets`` (the reference re-grids from the best value);
+    scoring reuses the comb alignment kernel with traced BPM values.
+    """
+    coarse = comb_candidates(
+        onset_pos, onset_valid, t_padded, sample_rate, min_bpm, max_bpm, 2.0
+    )
+    best = jnp.where(coarse.valid[:, 0], coarse.bpm[:, 0], 0.0)  # [B]
+    n_off = int(2 * refinement_range / 0.5) + 1
+    offsets = jnp.asarray(
+        np.arange(n_off, dtype=np.float32) * 0.5 - refinement_range
+    )
+    cand = jnp.clip(best[:, None] + offsets[None, :], min_bpm, max_bpm)  # [B, C]
+
+    period = 60.0 * sample_rate / jnp.maximum(cand, EPSILON)
+    tol = jnp.clip(
+        COMB_DEFAULT_TOLERANCE * (COMB_REFERENCE_BPM / jnp.maximum(cand, EPSILON)),
+        COMB_MIN_TOLERANCE,
+        COMB_MAX_TOLERANCE,
+    ) * period
+
+    n_beats_cap = int(np.ceil(t_padded / (60.0 * sample_rate / max_bpm))) + 2
+    beat_idx = jnp.arange(n_beats_cap, dtype=jnp.float32)
+    beats = period[:, :, None] * beat_idx[None, None, :]  # [B, C, NB]
+
+    sorted_pos = jnp.sort(
+        jnp.where(onset_valid, onset_pos, jnp.iinfo(jnp.int32).max), axis=-1
+    ).astype(jnp.float32)
+    n_valid = jnp.sum(onset_valid, axis=-1)
+    last = jnp.max(jnp.where(onset_valid, onset_pos, 0), axis=-1).astype(jnp.float32)
+    b = onset_pos.shape[0]
+    dist = _nearest_onset_distance_sorted(
+        beats.reshape(b, -1), sorted_pos, n_valid
+    ).reshape(beats.shape)
+    n_beats = jnp.ceil(last[:, None] / period) + 1
+    beat_ok = beat_idx[None, None, :] < n_beats[:, :, None]
+    aligned = jnp.sum((dist <= tol[:, :, None]) & beat_ok, axis=-1)
+    score = aligned / jnp.maximum(n_beats, 1.0)
+
+    enough = (n_valid >= 2) & coarse.valid[:, 0]
+    score = jnp.where(enough[:, None], score, 0.0)
+    mx = jnp.max(score, axis=-1, keepdims=True)
+    conf = jnp.where(mx > EPSILON, score / jnp.maximum(mx, EPSILON), 0.0)
+    valid = (conf >= 0.1) & enough[:, None]
+    order = jnp.argsort(jnp.where(valid, -conf, jnp.inf), axis=-1)
+    return CandidateList(
+        bpm=jnp.take_along_axis(cand, order, axis=-1),
+        confidence=jnp.take_along_axis(conf, order, axis=-1),
+        valid=jnp.take_along_axis(valid, order, axis=-1),
+    )
