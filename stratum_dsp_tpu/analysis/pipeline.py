@@ -210,7 +210,27 @@ def analyze_batch_arrays(
     mr_used = jnp.zeros_like(ambiguous)
 
     if cfg.enable_tempogram_multi_resolution:
-        mres = mr.multi_resolution_estimate(samples, lengths, cfg, sample_rate)
+        # The reference escalates only ambiguous tracks (lib.rs:493-579); the
+        # 3-hop recompute sits behind a batch-level cond so unambiguous
+        # batches skip its runtime entirely.
+        top_k = max(cfg.tempogram_multi_res_top_k, 1)
+
+        def run_mr(_):
+            return mr.multi_resolution_estimate(samples, lengths, cfg, sample_rate)
+
+        def skip_mr(_):
+            z = jnp.zeros((b,), jnp.float32)
+            zc = jnp.zeros((b, top_k), jnp.float32)
+            return {
+                "bpm": z, "confidence": z,
+                "method_agreement": jnp.zeros((b,), jnp.int32),
+                "ok": jnp.zeros((b,), bool),
+                "cand_bpm": zc, "cand_score": zc, "cand_fft": zc, "cand_ac": zc,
+                "cand_valid": jnp.zeros((b, top_k), bool),
+                "cand_selected": jnp.zeros((b, top_k), bool),
+            }
+
+        mres = jax.lax.cond(jnp.any(ambiguous & tempo_ok), run_mr, skip_mr, 0)
         rel = jnp.where(
             chosen_bpm > EPSILON,
             jnp.maximum(mres["bpm"] / jnp.maximum(chosen_bpm, EPSILON),

@@ -64,7 +64,7 @@ def extract_frames(region: jax.Array, n_frames: int, frame_size: int, hop: int) 
     return region[:, idx]
 
 
-DFT_MATMUL_MAX = 4096  # use the MXU DFT below this frame size
+DFT_MATMUL_MAX = 8192  # use the MXU DFT up to this frame size (covers the key STFT)
 
 
 def dft_basis(n: int):
@@ -79,17 +79,80 @@ def dft_basis(n: int):
     return jnp.cos(phase), jnp.sin(phase)
 
 
+_CT_INNER = 128  # inner radix of the factored DFT (one MXU tile)
+
+
+@functools.lru_cache(maxsize=16)
+def _ct_factored_mats(n: int):
+    """Small host-side matrices for the two-stage Cooley-Tukey real-DFT
+    magnitude. With N = N1*128, n = n1 + N1*n2 and k = q*128 + k2:
+
+        X[q*128+k2] = sum_n1 W_N1^{q n1} * W_N^{n1 k2} *
+                        sum_n2 x[n1 + N1 n2] W_128^{n2 k2}
+
+    Each stage is a batched matmul over a <=128-wide contraction — ~15x
+    fewer FLOPs than the one-stage [N, N/2+1] DFT at N=8192 — and every
+    matrix is MXU-tile-sized.
+    """
+    n2 = _CT_INNER
+    n1 = n // n2
+    q_max = n1 // 2 + 1  # q*128 + k2 <= n/2 needs q <= n1/2
+
+    k2 = np.arange(n2)
+    ang2 = 2.0 * np.pi * np.outer(k2, np.arange(n2)) / n2
+    c2, s2 = np.cos(ang2), np.sin(ang2)  # [k2, n2]
+
+    nn1 = np.arange(n1)
+    angt = 2.0 * np.pi * np.outer(k2, nn1) / n
+    tre, tim = np.cos(angt), -np.sin(angt)  # twiddle e^{-2pi i k2 n1 / N}
+
+    ang1 = 2.0 * np.pi * np.outer(np.arange(q_max), nn1) / n1
+    c1, s1 = np.cos(ang1), np.sin(ang1)  # [q, n1]
+
+    # cache NUMPY (converting to jnp here would leak tracers when first
+    # called under a jit trace); the ~64 KB matrices become cheap constants
+    f32 = lambda a: np.asarray(a, np.float32)
+    return f32(c2), f32(s2), f32(tre), f32(tim), f32(c1), f32(s1), n1, n2, q_max
+
+
+def rfft_magnitude_factored(x: jax.Array) -> jax.Array:
+    """|rfft(x)| via the two-stage matmul factorization; x [..., N] with
+    N divisible by 128 and N/128 <= 128."""
+    n = x.shape[-1]
+    c2, s2, tre, tim, c1, s1, n1, n2, q_max = _ct_factored_mats(n)
+    xr = x.reshape(x.shape[:-1] + (n2, n1))  # [..., n2, n1]
+    # inner DFT over n2 (e^{-i theta}: G = x*cos - i x*sin)
+    gre = jnp.einsum("...ni,kn->...ki", xr, c2, preferred_element_type=jnp.float32)
+    gim = -jnp.einsum("...ni,kn->...ki", xr, s2, preferred_element_type=jnp.float32)
+    # twiddle multiply (elementwise over [k2, n1])
+    g2re = gre * tre - gim * tim
+    g2im = gre * tim + gim * tre
+    # outer DFT over n1: X = sum (g2re + i g2im)(cos - i sin)
+    xre = jnp.einsum("...ki,qi->...qk", g2re, c1, preferred_element_type=jnp.float32) + \
+        jnp.einsum("...ki,qi->...qk", g2im, s1, preferred_element_type=jnp.float32)
+    xim = jnp.einsum("...ki,qi->...qk", g2im, c1, preferred_element_type=jnp.float32) - \
+        jnp.einsum("...ki,qi->...qk", g2re, s1, preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(xre * xre + xim * xim)  # [..., q_max, n2]
+    flat = mag.reshape(mag.shape[:-2] + (q_max * n2,))
+    return flat[..., : n // 2 + 1].astype(jnp.float32)
+
+
 def stft_magnitude_chunk(
     frames: jax.Array, window: jax.Array, basis=None
 ) -> jax.Array:
     """Windowed rFFT magnitude for a chunk of frames [B, C, F] -> [B, C, F//2+1].
 
-    For frame sizes up to DFT_MATMUL_MAX the rFFT runs as two real matmuls on
-    the MXU (|X_k| = |x·cos_k - i·x·sin_k|), ~2x faster than XLA's TPU FFT
-    lowering at 2048 and numerically equivalent to ~1e-6 relative.
+    For frame sizes up to DFT_MATMUL_MAX the rFFT runs as MXU matmuls: the
+    one-stage [N, N/2+1] cos/sin pair (XLA's TPU FFT lowering measured
+    ~0.4% of peak at N=8192; the dense DFT matmul wins by a wide margin).
     """
     n = frames.shape[-1]
     x = frames * window
+    # NOTE: the factored form measured SLOWER end-to-end than the one-stage
+    # DFT despite ~15x fewer FLOPs — its six small einsums force layout
+    # transposes of the [B, C, 128, N/128] intermediates, while the single
+    # [*, N] @ [N, N/2+1] matmul runs near MXU peak. Kept for reference and
+    # possible Pallas fusion; not on the default path.
     if n <= DFT_MATMUL_MAX:
         cb, sb = dft_basis(n) if basis is None else basis
         re = jnp.matmul(x, cb, preferred_element_type=jnp.float32)
