@@ -50,6 +50,22 @@ def _condition_chunk(spec, fvalid, cfg: AnalysisConfig, halo: int):
     return spec
 
 
+def _key_keep_bins(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
+    """Bins materialized by the key STFT: chroma/HPCP only read
+    [100, 5000] Hz (extractor.rs:47-48), so the streamed pass keeps bins
+    [0, ceil(5000 Hz) + 2) — ~930 of 4097 at 8192/44.1k. This is a
+    TPU-native approximation in ONE place: the per-frame energy used for
+    frame weighting (lib.rs:1256-1287) sums the conditioned band instead of
+    the full spectrum; the weights are median-normalized so only the
+    (small, mostly-percussive) >5 kHz share is lost. The log-frequency
+    path keeps all bins."""
+    if cfg.enable_key_log_frequency:
+        return None
+    n_bins = frame_size // 2 + 1
+    fres = sample_rate / frame_size
+    return int(min(np.ceil(5000.0 / fres) + 2, n_bins))
+
+
 def _key_stft_params(cfg: AnalysisConfig):
     frame_size = cfg.key_stft_frame_size if cfg.enable_key_stft_override else cfg.frame_size
     hop = cfg.key_stft_hop_size if cfg.enable_key_stft_override else cfg.hop_size
@@ -67,13 +83,14 @@ def estimate_tuning_streamed(
     (lib.rs:1090-1110): per-chunk partial circular sums, combined at the end.
     Returns per-track offsets [B] clamped to ±key_tuning_max_abs_semitones."""
     frame_size, hop = _key_stft_params(cfg)
+    keep_bins = _key_keep_bins(cfg, sample_rate, frame_size)
     halo = (
         cfg.key_spectrogram_smooth_margin
         if (cfg.enable_key_harmonic_mask or cfg.enable_key_spectrogram_time_smoothing)
         and not cfg.enable_key_hpss_harmonic
         else 0
     )
-    n_bins = frame_size // 2 + 1
+    n_bins = keep_bins if keep_bins is not None else frame_size // 2 + 1
     freqs = chx.bin_freqs(sample_rate, frame_size, n_bins)
     fmin, fmax = 80.0, float(np.clip(2000.0, 81.0, sample_rate / 2))
     in_band = jnp.asarray((freqs >= fmin) & (freqs <= fmax))
@@ -106,7 +123,7 @@ def estimate_tuning_streamed(
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, _, _ = stft_reduce(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
-        chunk_frames=chunk_frames, halo=halo,
+        chunk_frames=chunk_frames, halo=halo, keep_bins=keep_bins,
     )
     s_sin = jnp.sum(outs["sin"], axis=-1)
     s_cos = jnp.sum(outs["cos"], axis=-1)
@@ -148,6 +165,7 @@ def collect_hpss_mask(
     outs, _, frame_counts = stft_reduce(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
         chunk_frames=chunk_frames,
+        keep_bins=_key_keep_bins(cfg, sample_rate, frame_size),
     )
     band_ds = outs["band"]
     ds_counts = jnp.sum(outs["bvalid"], axis=-1)
@@ -175,6 +193,7 @@ def extract_key_features(
     ``tuning_offset`` may be a per-track traced array [B].
     """
     frame_size, hop = _key_stft_params(cfg)
+    keep_bins = _key_keep_bins(cfg, sample_rate, frame_size)
     halo = (
         cfg.key_spectrogram_smooth_margin
         if (cfg.enable_key_harmonic_mask or cfg.enable_key_spectrogram_time_smoothing)
@@ -202,6 +221,8 @@ def extract_key_features(
                 sample_rate, frame_size, cfg.soft_chroma_mapping,
                 cfg.soft_mapping_sigma, tuning_offset,
             )  # [B, K, 12]
+        if keep_bins is not None:
+            proj = proj[..., :keep_bins, :]
 
     if hpss_mask is not None:
         mask_ds, bin_start, bin_end, mask_step = hpss_mask
@@ -277,6 +298,7 @@ def extract_key_features(
         lambda b: jnp.zeros((b,)),
         chunk_frames=chunk_frames,
         halo=halo,
+        keep_bins=keep_bins,
     )
     return outs["chroma"], outs["energy"], frame_counts
 

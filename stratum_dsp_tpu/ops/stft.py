@@ -138,7 +138,7 @@ def rfft_magnitude_factored(x: jax.Array) -> jax.Array:
 
 
 def stft_magnitude_chunk(
-    frames: jax.Array, window: jax.Array, basis=None
+    frames: jax.Array, window: jax.Array, basis=None, keep_bins=None
 ) -> jax.Array:
     """Windowed rFFT magnitude for a chunk of frames [B, C, F] -> [B, C, F//2+1].
 
@@ -155,10 +155,14 @@ def stft_magnitude_chunk(
     # possible Pallas fusion; not on the default path.
     if n <= DFT_MATMUL_MAX:
         cb, sb = dft_basis(n) if basis is None else basis
+        if keep_bins is not None:
+            cb, sb = cb[:, :keep_bins], sb[:, :keep_bins]
         re = jnp.matmul(x, cb, preferred_element_type=jnp.float32)
         im = jnp.matmul(x, sb, preferred_element_type=jnp.float32)
         return jnp.sqrt(re * re + im * im).astype(jnp.float32)
     spec = jnp.fft.rfft(x, axis=-1)
+    if keep_bins is not None:
+        spec = spec[..., :keep_bins]
     return jnp.abs(spec).astype(jnp.float32)
 
 
@@ -171,6 +175,7 @@ def stft_reduce(
     carry_init: Callable,
     chunk_frames: int = 256,
     halo: int = 0,
+    keep_bins=None,
 ):
     """Scan the batched STFT in frame chunks and reduce each chunk.
 
@@ -229,7 +234,7 @@ def stft_reduce(
             samples, (0, start), (b, (ext - 1) * hop + frame_size)
         )
         frames = extract_frames(region, ext, frame_size, hop)
-        spec = stft_magnitude_chunk(frames, window, basis)
+        spec = stft_magnitude_chunk(frames, window, basis, keep_bins)
         # Global frame indices covered by this (clamped) slice.
         base = jnp.maximum(first_frame, 0)
         fidx = base + jnp.arange(ext)
