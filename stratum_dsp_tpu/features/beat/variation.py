@@ -43,6 +43,8 @@ PRIOR_SIGMA = 2.0
 LIKELIHOOD_SIGMA = 0.05
 N_CANDIDATES = 21  # ±5 BPM @ 0.5 steps
 MAX_SEGMENTS = 48
+SEG_ONSET_CAP = 512  # onsets per 4-8 s segment (64/s headroom; energy-flux
+# dedup bounds the true rate at ~hop/2 spacing, consensus far lower)
 
 
 def compact_sorted(times: jax.Array, valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -129,10 +131,13 @@ def refine_beats(
     j0 = ss(ot, start, "left")
     j1 = jnp.minimum(ss(ot, end, "right"), n_onsets[:, None])
     has_onsets_all = (j1 - j0) >= 1
-    onset_idx = jnp.arange(K)
-    omask_all = (onset_idx[None, None, :] >= j0[..., None]) & (
-        onset_idx[None, None, :] < j1[..., None]
-    )  # [B, S, K]
+    # compact each segment's onsets to a fixed small window so the scan body
+    # works on [B, SEG_ONSET_CAP] instead of the full onset capacity
+    cap_idx = j0[..., None] + jnp.arange(SEG_ONSET_CAP)[None, None, :]  # [B,S,cap]
+    seg_ovalid_all = cap_idx < j1[..., None]
+    seg_ot_all = jnp.take_along_axis(
+        ot[:, None, :].repeat(S, axis=1), jnp.minimum(cap_idx, K - 1), axis=-1
+    )  # [B, S, cap]
     seg_first_onset_all = jnp.take_along_axis(ot, jnp.minimum(j0, K - 1), axis=-1)
     seg_last_onset_all = jnp.take_along_axis(ot, jnp.maximum(j1 - 1, 0), axis=-1)
 
@@ -162,7 +167,8 @@ def refine_beats(
         cur_bpm, _cur_conf = carry
         is_var = is_var_all[:, s]
         has_onsets = has_onsets_all[:, s]
-        omask = omask_all[:, s]
+        seg_ot = seg_ot_all[:, s]  # [B, cap]
+        omask = seg_ovalid_all[:, s]
         seg_first_onset = seg_first_onset_all[:, s]
         seg_last_onset = seg_last_onset_all[:, s]
 
@@ -173,7 +179,7 @@ def refine_beats(
         cand_ok = cand <= max_c[:, None] + 1e-6
 
         interval = 60.0 / jnp.maximum(cand, EPSILON)  # [B, C]
-        rel = ot[:, None, :] - seg_first_onset[:, None, None]  # [B, 1, K]
+        rel = seg_ot[:, None, :] - seg_first_onset[:, None, None]  # [B, 1, cap]
         bi = jnp.round(rel / interval[:, :, None])
         d = jnp.abs(rel - bi * interval[:, :, None])  # [B, C, K]
         logp = -(d * d) / (2.0 * LIKELIHOOD_SIGMA * LIKELIHOOD_SIGMA)
@@ -207,7 +213,7 @@ def refine_beats(
         # claims its floor/ceil grid slots (exact for any distance < one
         # beat interval; larger distances give emission ~0 either way).
         # This keeps sequential searchsorted loops out of the scan body.
-        rel_o = ot - seg_first_onset[:, None]  # [B, K]
+        rel_o = seg_ot - seg_first_onset[:, None]  # [B, cap]
         bi_f = jnp.floor(rel_o / seg_interval[:, None])
         d_f = jnp.abs(rel_o - bi_f * seg_interval[:, None])
         d_c = jnp.abs((bi_f + 1.0) * seg_interval[:, None] - rel_o)
