@@ -141,7 +141,7 @@ def spectral_whiten(spec: jax.Array, smooth_bins: int) -> jax.Array:
     c = jnp.cumsum(x, axis=-1)
     c0 = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
     n = spec.shape[-1]
-    idx = jnp.arange(n)
+    idx = np.arange(n)
     lo = np.maximum(idx - half, 0)
     hi = np.minimum(idx + half, n - 1)
     mean = (jnp.take(c0, hi + 1, axis=-1) - jnp.take(c0, lo, axis=-1)) / jnp.asarray(

@@ -153,13 +153,12 @@ def collect_hpss_mask(
     bin_start = int(np.clip(np.floor(fmin / fres), 0, n_bins))
     bin_end = int(np.clip(np.ceil(fmax / fres), 0, n_bins))
     step = max(cfg.key_hpss_frame_step, 1)
-    if chunk_frames % step != 0:
-        chunk_frames = step * max(chunk_frames // step, 1)
 
     def reducer(spec, fidx, fvalid, carry):
-        band = spec[:, ::step, bin_start:bin_end]
-        bvalid = fvalid[:, ::step]
-        return {"band": jnp.where(bvalid[..., None], band, 0.0), "bvalid": bvalid}, carry
+        # emit the full band per chunk (the reducer contract requires
+        # [B, C, ...] outputs); time-downsampling happens post-materialize
+        band = spec[:, :, bin_start:bin_end]
+        return {"band": jnp.where(fvalid[..., None], band, 0.0)}, carry
 
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, _, frame_counts = stft_reduce(
@@ -167,8 +166,8 @@ def collect_hpss_mask(
         chunk_frames=chunk_frames,
         keep_bins=_key_keep_bins(cfg, sample_rate, frame_size),
     )
-    band_ds = outs["band"]
-    ds_counts = jnp.sum(outs["bvalid"], axis=-1)
+    band_ds = outs["band"][:, ::step]
+    ds_counts = -(-frame_counts // step)  # ceil: frames 0, step, 2*step, ...
     mask_ds = chx.hpss_median_mask_downsampled(
         band_ds, ds_counts, cfg.key_hpss_time_margin, cfg.key_hpss_freq_margin,
         cfg.key_hpss_mask_power,

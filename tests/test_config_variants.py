@@ -1,0 +1,70 @@
+"""Compile/behavior smoke tests for the opt-in config paths (all off in the
+reference's tuned defaults): log-frequency chroma, tuning compensation,
+HPSS-median key mask, beat-synchronous chroma, ensemble/median/multi-scale
+detectors, mode heuristic, percussive fallback, HPSS onsets, bpm fusion."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stratum_dsp_tpu.analysis import PipelineCaps, analyze_batch
+from stratum_dsp_tpu.config import AnalysisConfig
+from stratum_dsp_tpu.features.key import detect_key_batch
+from stratum_dsp_tpu.result import Key
+from stratum_dsp_tpu.testing import SAMPLE_RATE, c_major_scale, kick_pattern, pad_batch
+
+CAPS = PipelineCaps(max_onsets=128, max_beats=128, seg_beat_cap=16, max_segments=6)
+
+
+def scale_batch():
+    samples, lengths = pad_batch([c_major_scale()])
+    return jnp.asarray(samples), jnp.asarray(lengths)
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {"enable_key_log_frequency": True, "enable_key_hpcp": False},
+        {"enable_key_tuning_compensation": True},
+        {"enable_key_hpss_harmonic": True, "enable_key_harmonic_mask": False},
+        {"enable_key_ensemble": True},
+        {"enable_key_median": True, "enable_key_segment_voting": False,
+         "key_median_segment_length_frames": 120, "key_median_segment_hop_frames": 30},
+        {"enable_key_multi_scale": True, "key_multi_scale_lengths": (60, 120)},
+        {"enable_key_mode_heuristic": True, "key_mode_flip_min_score_ratio": 0.6},
+        {"enable_key_hpcp_whitening": True},
+        {"enable_key_hpcp_bass_blend": True},
+        {"enable_key_edge_trim": True},
+        {"enable_key_hpcp": False},
+    ],
+)
+def test_key_config_variants_detect_c(overrides):
+    s, l = scale_batch()
+    cfg = AnalysisConfig(**overrides)
+    res = detect_key_batch(s, l, cfg, SAMPLE_RATE)
+    key = Key.from_index(int(res.key_idx[0]))
+    # every variant should land on C major or its close relations on the
+    # clean scale fixture; primarily this guards compilation + shape sanity
+    assert key.tonic in (0, 7, 9), key.name()
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {"enable_tempogram_percussive_fallback": True},
+        {"enable_hpss_onsets": True},
+        {"enable_bpm_fusion": True},
+        {"force_legacy_bpm": True},
+        {"enable_key_beat_synchronous": True},
+        {"enable_onset_consensus": False},
+        {"enable_normalization": False, "enable_silence_trimming": False},
+    ],
+)
+def test_pipeline_config_variants(overrides):
+    samples, lengths = pad_batch([kick_pattern(120.0, 4.0)])
+    cfg = AnalysisConfig(**overrides)
+    out = analyze_batch(samples, lengths, cfg, SAMPLE_RATE, CAPS)
+    assert bool(out["ok"][0])
+    got = float(out["bpm"][0])
+    ratio = max(got / 120.0, 120.0 / max(got, 1e-6))
+    assert min(abs(ratio - r) for r in (1.0, 2.0, 1.5, 3.0)) < 0.06, got
