@@ -164,15 +164,19 @@ def refine_beats(
     fidx = jnp.arange(seg_beat_cap, dtype=jnp.float32)
 
     def bayes_step(carry, s):
+        # Only the Bayesian BPM chain is sequential (candidates window around
+        # the running estimate, bayesian.rs:183-195); everything downstream of
+        # the refined BPM is re-tracked vectorized over segments AFTER the
+        # scan. Keeping the scan body to the [B, C, cap] likelihood only makes
+        # each of the S steps ~tiny instead of carrying the [B, cap, slots]
+        # claim masks through the loop.
         cur_bpm, _cur_conf = carry
         is_var = is_var_all[:, s]
         has_onsets = has_onsets_all[:, s]
         seg_ot = seg_ot_all[:, s]  # [B, cap]
         omask = seg_ovalid_all[:, s]
         seg_first_onset = seg_first_onset_all[:, s]
-        seg_last_onset = seg_last_onset_all[:, s]
 
-        # Bayesian candidates around the running estimate (bayesian.rs:183-195)
         min_c = jnp.maximum(cur_bpm - 5.0, 60.0)
         max_c = jnp.minimum(cur_bpm + 5.0, 180.0)
         cand = min_c[:, None] + 0.5 * jnp.arange(N_CANDIDATES, dtype=jnp.float32)[None, :]
@@ -199,74 +203,74 @@ def refine_beats(
 
         do_update = is_var & has_onsets
         cur_bpm = jnp.where(do_update, best_bpm, cur_bpm)
-
-        # variable-segment re-tracking at the refined tempo
-        seg_interval = 60.0 / jnp.maximum(cur_bpm, EPSILON)
-        nfr = jnp.ceil(
-            jnp.maximum(seg_last_onset - seg_first_onset, 0.0) / seg_interval
-        ).astype(jnp.int32) + 1
-        nfr = jnp.minimum(nfr, seg_beat_cap)
-        times_v = seg_first_onset[:, None] + fidx[None, :] * seg_interval[:, None]
-        fvalid = fidx[None, :] < nfr[:, None]
-
-        # nearest segment onset per grid slot, onset-centric: each onset
-        # claims its floor/ceil grid slots (exact for any distance < one
-        # beat interval; larger distances give emission ~0 either way).
-        # This keeps sequential searchsorted loops out of the scan body.
-        rel_o = seg_ot - seg_first_onset[:, None]  # [B, cap]
-        bi_f = jnp.floor(rel_o / seg_interval[:, None])
-        d_f = jnp.abs(rel_o - bi_f * seg_interval[:, None])
-        d_c = jnp.abs((bi_f + 1.0) * seg_interval[:, None] - rel_o)
-        slots = jnp.arange(seg_beat_cap, dtype=jnp.float32)
-
-        def claim_min(bi, dd):
-            m = (bi[:, :, None] == slots[None, None, :]) & omask[:, :, None]
-            return jnp.min(jnp.where(m, dd[:, :, None], BIG), axis=1)
-
-        dist = jnp.minimum(claim_min(bi_f, d_f), claim_min(bi_f + 1.0, d_c))
-        em = jnp.exp(-(dist * dist) / (2.0 * EMISSION_SIGMA * EMISSION_SIGMA))
-        is_beat_v = fvalid & (em > EMISSION_THRESHOLD) & has_onsets[:, None]
-        align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)
-        conf_v = jnp.minimum(0.7 * em + 0.3 * align, 1.0)
-
-        use_var = is_var[:, None]
-        seg_times = jnp.where(use_var, jnp.where(is_beat_v, times_v, 0.0), times_c_all[:, s])
-        seg_conf = jnp.where(
-            use_var, jnp.where(is_beat_v, conf_v, 0.0),
-            jnp.where(valid_c_all[:, s], conf_c_all[:, s], 0.0),
-        )
-        seg_valid = jnp.where(use_var, is_beat_v, valid_c_all[:, s]) & seg_ok[:, s][:, None]
-
-        # pack the three outputs into ONE stacked array: with separate
-        # outputs XLA fissions the scan into one loop per output (observed as
-        # 4 cloned whiles, ~4x the runtime)
-        packed = jnp.concatenate(
-            [seg_times, seg_conf, seg_valid.astype(jnp.float32)], axis=-1
-        )
-        return (cur_bpm, new_conf), packed
+        # single stacked output (separate outputs fission the scan into one
+        # cloned loop per output)
+        return (cur_bpm, new_conf), jnp.stack([cur_bpm, new_conf], axis=-1)
 
     init = (nominal_bpm, bpm_confidence)
     has_variation = jnp.any(is_var_all, axis=-1)  # [B]
 
     # The reference only runs Bayesian refinement when variation was detected
     # (mod.rs:162-219). Variation detection is fully hoisted above, so the
-    # whole sequential refine scan sits behind a batch-level lax.cond: for the
-    # common all-constant-tempo batch it costs nothing at runtime.
+    # whole refine path sits behind a batch-level lax.cond: for the common
+    # all-constant-tempo batch it costs nothing at runtime.
     def run_refine(_):
-        (_, _), packed = jax.lax.scan(bayes_step, init, jnp.arange(max_segments))
-        return packed
+        (_, _), out = jax.lax.scan(bayes_step, init, jnp.arange(max_segments))
+        seg_bpm = jnp.moveaxis(out[..., 0], 0, 1)  # [B, S] refined BPM chain
+
+        # ---- variable-segment re-tracking, vectorized over ALL segments ----
+        seg_interval = 60.0 / jnp.maximum(seg_bpm, EPSILON)  # [B, S]
+        times_v = (
+            seg_first_onset_all[..., None]
+            + fidx[None, None, :] * seg_interval[..., None]
+        )  # [B, S, cap_b]
+        nfr = jnp.ceil(
+            jnp.maximum(seg_last_onset_all - seg_first_onset_all, 0.0) / seg_interval
+        ).astype(jnp.int32) + 1
+        nfr = jnp.minimum(nfr, seg_beat_cap)
+        fvalid = fidx[None, None, :] < nfr[..., None]
+
+        # nearest segment onset per grid slot, onset-centric: each onset
+        # claims its floor/ceil grid slots (exact for any distance < one
+        # beat interval; larger distances give emission ~0 either way).
+        rel_o = seg_ot_all - seg_first_onset_all[..., None]  # [B, S, cap]
+        bi_f = jnp.floor(rel_o / seg_interval[..., None])
+        d_f = jnp.abs(rel_o - bi_f * seg_interval[..., None])
+        d_c = jnp.abs((bi_f + 1.0) * seg_interval[..., None] - rel_o)
+        slots = jnp.arange(seg_beat_cap, dtype=jnp.float32)
+
+        def claim_min(bi, dd):
+            m = (bi[..., None] == slots) & seg_ovalid_all[..., None]
+            return jnp.min(jnp.where(m, dd[..., None], BIG), axis=2)  # [B,S,slots]
+
+        dist = jnp.minimum(claim_min(bi_f, d_f), claim_min(bi_f + 1.0, d_c))
+        em = jnp.exp(-(dist * dist) / (2.0 * EMISSION_SIGMA * EMISSION_SIGMA))
+        is_beat_v = fvalid & (em > EMISSION_THRESHOLD) & has_onsets_all[..., None]
+        align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)
+        conf_v = jnp.minimum(0.7 * em + 0.3 * align, 1.0)
+
+        use_var = is_var_all[..., None]  # [B, S, 1]
+        seg_times = jnp.where(use_var, jnp.where(is_beat_v, times_v, 0.0), times_c_all)
+        seg_conf = jnp.where(
+            use_var, jnp.where(is_beat_v, conf_v, 0.0),
+            jnp.where(valid_c_all, conf_c_all, 0.0),
+        )
+        seg_valid = jnp.where(use_var, is_beat_v, valid_c_all) & seg_ok[..., None]
+        return jnp.concatenate(
+            [seg_times, seg_conf, seg_valid.astype(jnp.float32)], axis=-1
+        )  # [B, S, 3*cap_b]
 
     def skip_refine(_):
-        return jnp.zeros((max_segments, b, 3 * seg_beat_cap), jnp.float32)
+        return jnp.zeros((b, max_segments, 3 * seg_beat_cap), jnp.float32)
 
     packed = jax.lax.cond(jnp.any(has_variation), run_refine, skip_refine, 0)
     st = packed[..., :seg_beat_cap]
     sc = packed[..., seg_beat_cap : 2 * seg_beat_cap]
     sv = packed[..., 2 * seg_beat_cap :] > 0.5
 
-    # [S, B, C] -> [B, S*C]
+    # [B, S, C] -> [B, S*C]
     def flat(x):
-        return jnp.moveaxis(x, 0, 1).reshape(b, -1)
+        return x.reshape(b, -1)
 
     seg_times, seg_conf, seg_valid = flat(st), flat(sc), flat(sv)
 
