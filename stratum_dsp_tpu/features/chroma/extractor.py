@@ -196,11 +196,40 @@ def frames_to_hpcp(
 
     k_top = max(min(peaks_per_frame, hi_bin), 1)
     peak_vals = jnp.where(peak_ok, sel, -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(peak_vals, k_top)  # [..., k_top]
+    raw_b = jnp.maximum(spec_b, 0.0)  # top_idx < hi_bin, so spec_b == spec here
+
+    # Adjacent bins can never both be peaks (peak needs sel>prev on the left
+    # and sel>=nxt on the right, which is contradictory for a neighbor pair),
+    # so a pairwise max halves the sort width exactly. Sorting (vals, raw,
+    # bin) jointly then replaces top_k + a take_along_axis gather — the
+    # combination was the single hottest op pair of the key path on TPU.
+    half_w = (hi_bin + 1) // 2
+    if hi_bin % 2:
+        peak_vals = jnp.pad(peak_vals, [(0, 0)] * (peak_vals.ndim - 1) + [(0, 1)],
+                            constant_values=-jnp.inf)
+        raw_b = jnp.pad(raw_b, [(0, 0)] * (raw_b.ndim - 1) + [(0, 1)])
+    bin_ids = jnp.broadcast_to(
+        jnp.arange(2 * half_w, dtype=jnp.int32), peak_vals.shape
+    )
+    ev, od = peak_vals[..., 0::2], peak_vals[..., 1::2]
+    take_odd = od > ev  # tie -> even (lower bin), matching stable top_k
+    pv2 = jnp.where(take_odd, od, ev)
+    raw2 = jnp.where(take_odd, raw_b[..., 1::2], raw_b[..., 0::2])
+    id2 = jnp.where(take_odd, bin_ids[..., 1::2], bin_ids[..., 0::2])
+
+    if k_top <= half_w:
+        s_neg, s_raw, s_idx = jax.lax.sort(
+            (-pv2, raw2, id2), dimension=-1, num_keys=1, is_stable=True
+        )
+        top_vals = -s_neg[..., :k_top]
+        raw_at_peak = s_raw[..., :k_top]
+        top_idx = s_idx[..., :k_top]
+    else:  # degenerate tiny-band case: keep the straightforward path
+        top_vals, top_idx = jax.lax.top_k(peak_vals[..., :hi_bin], k_top)
+        raw_at_peak = jnp.take_along_axis(raw_b, top_idx, axis=-1)
     valid = jnp.isfinite(top_vals)
 
     p = float(np.clip(mag_power, 0.05, 1.0))
-    raw_at_peak = jnp.take_along_axis(jnp.maximum(spec, 0.0), top_idx, axis=-1)
     w0 = jnp.where(valid, jnp.power(raw_at_peak, p), 0.0)
 
     fres = sample_rate / fft_size

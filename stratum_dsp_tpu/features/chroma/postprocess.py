@@ -84,7 +84,10 @@ def _median_select_nth_masked(x: jax.Array, n_valid: jax.Array, half: int) -> ja
     lo = jnp.maximum(idx - half, 0)
     hi = jnp.minimum(idx + half, nv - 1)
     cnt = jnp.maximum(hi - lo + 1, 1)
-    mid = cnt // 2
-    tgt = s.shape[:-1]
-    med = jnp.take_along_axis(s, jnp.broadcast_to(mid, tgt)[..., None], axis=-1)[..., 0]
+    mid = jnp.broadcast_to(cnt // 2, s.shape[:-1])
+    # mid only ranges over [0, half] (full interior windows have exactly
+    # 2*half+1 members), so a handful of selects beats a huge gather
+    med = s[..., 0]
+    for m in range(1, half + 1):
+        med = jnp.where(mid == m, s[..., m], med)
     return jnp.where(idx < nv, med, x)

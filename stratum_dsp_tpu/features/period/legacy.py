@@ -184,14 +184,16 @@ def comb_candidates(
     d = jnp.abs(o - k_idx.astype(jnp.float32) * period_j)
     hit = (d <= jnp.asarray(tol)[None, :, None]) & ovalid[:, None, :]
 
-    j_arr = jnp.arange(k)
-    hit_j = jnp.where(hit, j_arr[None, None, :], -1)
-    last_hit_before = jnp.concatenate(
-        [jnp.full_like(hit_j[..., :1], -1), jax.lax.cummax(hit_j, axis=2)[..., :-1]],
+    # k_idx is nondecreasing over the sorted onsets, so the k claimed by the
+    # last hit before j is simply the running max of (hit ? k : -1) — a
+    # cummax instead of a [B, n_bpm, K] gather (XLA TPU gathers run ~1
+    # element/cycle; this one alone was ~10% of the whole pipeline).
+    k_hit = jnp.where(hit, k_idx, -1)
+    k_prev = jnp.concatenate(
+        [jnp.full_like(k_hit[..., :1], -1), jax.lax.cummax(k_hit, axis=2)[..., :-1]],
         axis=-1,
-    )  # index of the last hit strictly before j
-    k_prev = jnp.take_along_axis(k_idx, jnp.maximum(last_hit_before, 0), axis=-1)
-    dup = hit & (last_hit_before >= 0) & (k_prev == k_idx)
+    )  # k claimed by the last hit strictly before j (-1 if none)
+    dup = hit & (k_prev == k_idx)
     aligned = jnp.sum(hit & ~dup, axis=-1)  # [B, n_bpm] distinct aligned beats
 
     n_beats = jnp.ceil(last[:, None] / jnp.asarray(period)[None, :]) + 1  # [B, n_bpm]

@@ -101,30 +101,52 @@ def beat_contrast_score(
     total = jnp.maximum(jnp.sum(novm, axis=-1), EPSILON)  # [B]
     mean_nov = jnp.maximum(total / jnp.maximum(n_valid, 1), EPSILON)  # [B]
 
-    samp_cap = n // PERIOD_MIN + 1
-    karr = jnp.arange(samp_cap)  # [S]
-    phases = jnp.arange(PHASE_CAP)  # [P]
+    # The sampled positions phase + k*period (+ period*num/den) tile the frame
+    # axis: every frame i < n_valid belongs to exactly one (phase, k) pair via
+    # phase = i mod p. So all four phase-grid means derive from ONE
+    # modular-class sum T0[m] = sum of mx over frames i < n_valid with
+    # i mod p == m — each offset variant is a cyclic reindex of T0 minus at
+    # most one boundary term (the class member below the offset, whose base
+    # would be negative). T0 itself is a chunked one-hot matmul on the MXU;
+    # the previous formulation was four [B, F, P, S] gathers (~2.2M indices
+    # each) which TPU executes at ~1 element/cycle.
+    P = PHASE_CAP
+    marr = jnp.arange(P)  # [P]
+    CH = 2048
+    nch = -(-n // CH)
+    mxp = jnp.pad(mx, ((0, 0), (0, nch * CH - n)))
+    ivalid = jnp.arange(nch * CH)[None, :] < n_valid[:, None]
+    mxv = jnp.where(ivalid, mxp, 0.0)  # [B, nch*CH]
+    t0 = jnp.zeros((b, f, P), jnp.float32)
+    for c in range(nch):
+        idx_c = jnp.asarray(np.arange(c * CH, (c + 1) * CH))  # [CH]
+        lab = jnp.mod(idx_c[None, None, :], p[:, :, None])  # [B, F, CH]
+        oh = (lab[..., None] == marr).astype(jnp.float32)  # [B, F, CH, P]
+        t0 = t0 + jnp.einsum("bc,bfcp->bfp", mxv[:, c * CH : (c + 1) * CH], oh)
+    # class counts in closed form: |{i < n_valid : i mod p == m}|
+    nv = n_valid[:, None, None]
+    pb = p[:, :, None]
+    c0 = jnp.maximum((nv - marr[None, None, :] + pb - 1) // pb, 0)
+    c0 = jnp.where(marr[None, None, :] < jnp.minimum(pb, nv), c0, 0)  # [B, F, P]
 
-    def gather_mean(offset_num, offset_den):
-        # positions i = phase + k*period (+ period*num/den) -> [B, F, P, S]
-        base = phases[None, None, :, None] + karr[None, None, None, :] * p[:, :, None, None]
-        j = base + (p[:, :, None, None] * offset_num) // offset_den
-        valid = (base < n_valid[:, None, None, None]) & (
-            phases[None, None, :, None] < p[:, :, None, None]
-        )
-        jvalid = valid & (j < n_valid[:, None, None, None])
-        jc = jnp.clip(j, 0, n - 1)
-        vals = jnp.take_along_axis(
-            mx[:, None, None, :], jc.reshape(b, f, -1)[:, :, None, :], axis=-1
-        ).reshape(j.shape)
-        s = jnp.sum(jnp.where(jvalid, vals, 0.0), axis=-1)
-        c = jnp.sum(jvalid, axis=-1)
-        return s / jnp.maximum(c, 1), c  # [B, F, P]
+    mx_lo = jnp.where(jnp.arange(P)[None, :] < n_valid[:, None], mx[:, :P], 0.0)
+    mx_lo_b = jnp.broadcast_to(mx_lo[:, None, :], (b, f, P))
 
-    beat_mean, beat_n = gather_mean(0, 1)
-    half_mean, half_n = gather_mean(1, 2)
-    third1, t1n = gather_mean(1, 3)
-    third2, t2n = gather_mean(2, 3)
+    def class_mean(offset_num, offset_den):
+        off = (p * offset_num) // offset_den  # [B, F], 0 <= off < p
+        j0 = jnp.mod(marr[None, None, :] + off[:, :, None], pb)  # [B, F, P]
+        t = jnp.take_along_axis(t0, j0, axis=-1)
+        cc = jnp.take_along_axis(c0, j0, axis=-1)
+        # drop the single class member below the offset (base would be < 0)
+        drop = (j0 < off[:, :, None]) & (j0 < nv)
+        t = t - jnp.where(drop, jnp.take_along_axis(mx_lo_b, j0, axis=-1), 0.0)
+        cc = cc - drop
+        return t / jnp.maximum(cc, 1), cc  # [B, F, P]
+
+    beat_mean, beat_n = class_mean(0, 1)
+    half_mean, half_n = class_mean(1, 2)
+    third1, t1n = class_mean(1, 3)
+    third2, t2n = class_mean(2, 3)
     third_mean = (third1 * t1n + third2 * t2n) / jnp.maximum(t1n + t2n, 1)
 
     half_mean = jnp.where(p[:, :, None] >= 6, half_mean, 0.0)
@@ -132,7 +154,7 @@ def beat_contrast_score(
 
     contrast = beat_mean - 0.60 * half_mean - 0.40 * third_mean
     score = jnp.clip(contrast / mean_nov[:, None, None], -10.0, 10.0)
-    phase_ok = (phases[None, None, :] < p[:, :, None]) & (beat_n > 0)
+    phase_ok = (marr[None, None, :] < p[:, :, None]) & (beat_n > 0)
     best = jnp.max(jnp.where(phase_ok, score, -1e9), axis=-1)
     return jnp.where(ok, best, 0.0)
 
