@@ -52,9 +52,21 @@ def main() -> int:
     out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
     jax.block_until_ready(out)
 
+    # Each rep must see a NEVER-BEFORE-RUN input buffer: the axon tunnel
+    # caches (executable, input-buffer) results server-side, so re-running
+    # on the same buffers measures cache-fetch time, not compute. A ±1e-7
+    # on-device perturbation (inaudible; BPM/key invariant) defeats the
+    # cache while keeping host->device transfer out of the timed region.
+    perturb = jax.jit(lambda x, eps: x + eps)
+    inputs = []
+    for r in range(reps):
+        s_r = perturb(sj, np.float32((r + 1) * 1e-7))
+        jax.block_until_ready(s_r)
+        inputs.append(s_r)
+
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
+    for s_r in inputs:
+        out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
         jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
 

@@ -391,10 +391,28 @@ def analyze_batch_arrays(
         "warn_low_key_clarity": warn_key_clarity,
     }
     out.update({f"confidence_{k}": v for k, v in conf.items()})
-    if cfg.emit_tempogram_candidates:
+    if cfg.emit_tempogram_candidates or cfg.debug_track_id is not None:
         k = min(cfg.tempogram_candidates_top_n, cand_arrays["cand_bpm"].shape[-1])
         for name, arr in cand_arrays.items():
             out[name] = arr[:, :k]
+    if cfg.debug_track_id is not None:
+        # Debug-diagnostics channel (lib.rs:461-487): the ambiguity-gate
+        # signals plus the pre-escalation base estimate, host-formatted by
+        # analysis.debug.format_debug_dump.
+        out.update(
+            dbg_base_bpm=base["bpm"],
+            dbg_base_conf=base["confidence"],
+            dbg_base_agree=base["method_agreement"],
+            dbg_s_base=s_base,
+            dbg_s_2x=s_2x,
+            dbg_s_half=s_half,
+            dbg_trap_low=trap_low,
+            dbg_trap_high=trap_high,
+            dbg_family_competes=family_competes,
+            dbg_weak_base=weak_base,
+            dbg_fold_into_trap=fold_into_trap,
+            dbg_ambiguous=ambiguous,
+        )
     return out
 
 

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     out = analyze_batch(samples[None, :], np.asarray([len(samples)]), cfg, sr, caps)
     result = decode_results(out, sr)[0]
     result.metadata.processing_time_ms = (time.time() - t0) * 1000.0
+    if cfg.debug_track_id is not None:
+        from ..analysis.debug import emit_debug_dump
+
+        emit_debug_dump(out, cfg, 0)
 
     if args.json:
         print(json.dumps(result.to_dict()))

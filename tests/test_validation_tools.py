@@ -86,3 +86,118 @@ def test_fallback_flags(results_csv, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["multi_res_used"] == 2
     assert out["acc2_when_not_used"] == 1.0
+
+
+@pytest.fixture()
+def candidates_csv(tmp_path):
+    rows = [
+        dict(file="a.mp3", gt_bpm=128.0, bpm_err=0.2,
+             tempogram_candidates=json.dumps(
+                 [{"bpm": 128.0, "score": 0.9, "selected": True},
+                  {"bpm": 64.0, "score": 0.5, "selected": False}])),
+        # miss where GT is present but outranked
+        dict(file="b.mp3", gt_bpm=174.0, bpm_err=87.0,
+             tempogram_candidates=json.dumps(
+                 [{"bpm": 87.0, "score": 0.9, "selected": True},
+                  {"bpm": 174.0, "score": 0.6, "selected": False}])),
+        # miss where only a family multiple surfaced
+        dict(file="c.mp3", gt_bpm=120.0, bpm_err=60.0,
+             tempogram_candidates=json.dumps(
+                 [{"bpm": 180.0, "score": 0.8, "selected": True},
+                  {"bpm": 90.0, "score": 0.3, "selected": False}])),
+    ]
+    p = tmp_path / "results_cands.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    return str(p)
+
+
+def test_diagnose_candidates_writes_diagnosis_csv(candidates_csv, tmp_path, capsys):
+    from validation.analysis import diagnose_candidates
+
+    out_csv = str(tmp_path / "diag.csv")
+    assert diagnose_candidates.main([candidates_csv, "--out", out_csv]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["misses"] == 2
+    assert stats["gt_in_candidates"] == 1  # b: 174 present at rank 2
+    assert stats["gt_family_only"] == 1    # c: only 180 = 1.5x and 90 = 0.75x
+    with open(out_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    by_file = {r["file"]: r for r in rows}
+    assert by_file["a.mp3"]["gt_in_topn"] == "YES"
+    assert by_file["a.mp3"]["gt_rank"] == "1"
+    assert by_file["b.mp3"]["gt_in_topn"] == "YES"
+    assert by_file["b.mp3"]["gt_rank"] == "2"
+    assert by_file["c.mp3"]["gt_in_topn"] == "NO"
+
+
+def test_analyze_candidate_diagnosis(candidates_csv, tmp_path, capsys):
+    from validation.analysis import analyze_candidate_diagnosis, diagnose_candidates
+
+    out_csv = str(tmp_path / "diag.csv")
+    diagnose_candidates.main([candidates_csv, "--out", out_csv])
+    capsys.readouterr()
+    assert analyze_candidate_diagnosis.main(["--file", out_csv]) == 0
+    text = capsys.readouterr().out
+    assert "GT-in-topN" in text
+    assert "n=3" in text
+
+
+def test_debug_dump_formatting():
+    import numpy as np
+
+    from stratum_dsp_tpu.analysis.debug import format_debug_dump
+
+    host = {
+        "dbg_base_bpm": np.asarray([85.0]),
+        "dbg_base_conf": np.asarray([0.12]),
+        "dbg_base_agree": np.asarray([1]),
+        "dbg_s_base": np.asarray([0.9]),
+        "dbg_s_2x": np.asarray([0.85]),
+        "dbg_s_half": np.asarray([0.0]),
+        "dbg_trap_low": np.asarray([False]),
+        "dbg_trap_high": np.asarray([False]),
+        "dbg_family_competes": np.asarray([True]),
+        "dbg_weak_base": np.asarray([False]),
+        "dbg_fold_into_trap": np.asarray([True]),
+        "dbg_ambiguous": np.asarray([True]),
+        "cand_bpm": np.asarray([[85.0, 170.0, 0.0]]),
+        "cand_score": np.asarray([[0.9, 0.85, 0.0]]),
+        "cand_fft": np.asarray([[0.8, 0.7, 0.0]]),
+        "cand_ac": np.asarray([[0.95, 0.9, 0.0]]),
+        "cand_valid": np.asarray([[True, True, False]]),
+        "cand_selected": np.asarray([[True, False, False]]),
+        "multi_res_triggered": np.asarray([True]),
+        "multi_res_used": np.asarray([False]),
+        "percussive_triggered": np.asarray([False]),
+        "percussive_used": np.asarray([False]),
+    }
+    text = format_debug_dump(host, 0, 42, gt_bpm=170.0, top_n=5)
+    assert "track_id=42" in text
+    assert "GT bpm: 170.000" in text
+    assert "family_competes=True" in text
+    assert "bpm=  85.00" in text and "<== selected" in text
+    assert "gt_in_candidates=True" in text
+    assert "multi_res_triggered=True" in text
+
+
+def test_run_validation_resume_scoring(tmp_path):
+    from validation.tools import run_validation as rv
+
+    out = tmp_path / "results.csv"
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=rv.RESULT_FIELDS, extrasaction="ignore")
+        w.writeheader()
+        w.writerow({"file": "a.wav", "bpm": 128.0, "key": "Am"})
+    done = rv.load_done(str(out))
+    assert set(done) == {"a.wav"}
+    rows = [{"file": "a.wav", "bpm": "128.2", "key": "Am"},
+            {"file": "b.wav", "bpm": "90", "key": ""}]
+    chunks = rv.make_chunks(rows, done, batch_size=4)
+    assert chunks == [[1]]  # only the undone track
+    summary = rv.score_records(rows, done)
+    assert summary["analyzed"] == 1
+    assert summary["bpm_acc_2"] == 1.0
+    assert summary["key_acc"] == 1.0
