@@ -52,15 +52,19 @@ def main() -> int:
     out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
     jax.block_until_ready(out)
 
-    # Each rep must see a NEVER-BEFORE-RUN input buffer: the axon tunnel
-    # caches (executable, input-buffer) results server-side, so re-running
-    # on the same buffers measures cache-fetch time, not compute. A ±1e-7
-    # on-device perturbation (inaudible; BPM/key invariant) defeats the
-    # cache while keeping host->device transfer out of the timed region.
+    # Each rep must see a NEVER-BEFORE-RUN input value: the axon tunnel
+    # content-caches (executable, input) results server-side, so re-running
+    # on previously-seen values measures cache-fetch time, not compute. A
+    # random sub-1e-6 on-device perturbation (inaudible; BPM/key invariant)
+    # defeats the cache — including across bench invocations — while keeping
+    # host->device transfer out of the timed region.
+    import random
+
+    base = random.SystemRandom().randint(1, 1_000_000)
     perturb = jax.jit(lambda x, eps: x + eps)
     inputs = []
     for r in range(reps):
-        s_r = perturb(sj, np.float32((r + 1) * 1e-7))
+        s_r = perturb(sj, np.float32((base + r) * 1e-12))
         jax.block_until_ready(s_r)
         inputs.append(s_r)
 

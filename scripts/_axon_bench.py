@@ -20,10 +20,14 @@ import numpy as np
 
 class Bench:
     def __init__(self):
+        import os
         import jax
 
         self._jax = jax
-        self._eps = 0
+        # random base: the tunnel's result cache appears content-addressed,
+        # so a per-process counter restarting at 1 replays earlier processes'
+        # exact input values and hits the cache across processes
+        self._eps = int.from_bytes(os.urandom(4), "little") % 1_000_000
         self._perturb = jax.jit(lambda x, e: x + e)
         self._noop = jax.jit(lambda x: x + 1.0)
         self._probe = jax.device_put(np.zeros((8, 128), np.float32))

@@ -64,7 +64,7 @@ class PipelineCaps:
 
 
 def _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, top_n):
-    fft_size = tft.next_pow2(curves["full"].shape[-1])
+    fft_size = tft.padded_fft_size(curves["full"].shape[-1], frame_rate)
     variants = tg.compute_variants(curves, nov_mask, n_valid, frame_rate, cfg, fft_size)
     return tg.estimate_bpm_tempogram(variants, cfg, frame_rate, fft_size, top_n)
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .postprocess import l2_normalize_chroma
+from .postprocess import l2_normalize_chroma, l2_normalize_zero
 
 EPSILON = 1e-10
 A4_FREQ = 440.0
@@ -124,7 +124,7 @@ def frames_to_chroma(
     """Chroma [..., 12] from magnitudes [..., K]: compress, project, L2."""
     m = jnp.power(jnp.maximum(spec, 0.0), mag_compression)
     ch = jnp.matmul(m, projection, preferred_element_type=jnp.float32)
-    return l2_normalize_chroma(ch)
+    return l2_normalize_zero(ch)
 
 
 # --------------------------------------------------------------------------
@@ -256,7 +256,7 @@ def frames_to_hpcp(
         wt = jnp.exp(-dist * dist / (2.0 * sig * sig)) * contrib
         onehot = jax.nn.one_hot(cls.astype(jnp.int32), 12, dtype=jnp.float32)
         out = out + jnp.sum(wt[..., None] * onehot, axis=(-3, -2))
-    return l2_normalize_chroma(out)
+    return l2_normalize_zero(out)
 
 
 # --------------------------------------------------------------------------
@@ -463,7 +463,7 @@ def beat_synchronous_chroma(
     en_sum = seg_sum(frame_energy * okf, seg)
 
     avg = ch_sum / jnp.maximum(counts, 1.0)[..., None]
-    avg = jnp.where(counts[..., None] > 0, l2_normalize_chroma(avg), 0.0)
+    avg = jnp.where(counts[..., None] > 0, l2_normalize_zero(avg), 0.0)
     n_beats = jnp.sum(beat_valid, axis=-1)
     interval_valid = jnp.arange(nb - 1)[None, :] < jnp.maximum(n_beats - 1, 0)[:, None]
     return avg, en_sum, interval_valid & (counts > 0)

@@ -21,6 +21,14 @@ def l2_normalize_chroma(chroma: jax.Array) -> jax.Array:
     return jnp.where(norm > EPSILON, chroma / jnp.maximum(norm, EPSILON), uniform)
 
 
+def l2_normalize_zero(chroma: jax.Array) -> jax.Array:
+    """Unit-L2 per frame; tiny-norm frames stay ZERO — the extraction-path
+    normalization (extractor.rs:477-484, 672-677, 904-909, 1230-1234), unlike
+    the uniform fallback of the normalization.rs util above."""
+    norm = jnp.sqrt(jnp.sum(chroma * chroma, axis=-1, keepdims=True))
+    return jnp.where(norm > EPSILON, chroma / jnp.maximum(norm, EPSILON), 0.0)
+
+
 def sharpen_chroma(chroma: jax.Array, power: float) -> jax.Array:
     """Element-wise power + L2 renorm (normalization.rs:41-65)."""
     return l2_normalize_chroma(jnp.power(jnp.maximum(chroma, 0.0), power))

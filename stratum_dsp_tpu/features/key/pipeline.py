@@ -245,10 +245,10 @@ def extract_key_features(
         if use_log_freq:
             logspec = jnp.matmul(central, log_proj, preferred_element_type=jnp.float32)
             ch = jnp.matmul(logspec, fold_m, preferred_element_type=jnp.float32)
-            from ..chroma.postprocess import l2_normalize_chroma
+            from ..chroma.postprocess import l2_normalize_zero
 
             ch = jnp.where(
-                jnp.sum(logspec, axis=-1, keepdims=True) > 0, l2_normalize_chroma(ch), 0.0
+                jnp.sum(logspec, axis=-1, keepdims=True) > 0, l2_normalize_zero(ch), 0.0
             )
             energy = jnp.sum(logspec * logspec, axis=-1)
         elif cfg.enable_key_hpcp:
@@ -268,9 +268,9 @@ def extract_key_features(
                     fmin_hz=cfg.key_hpcp_bass_fmin_hz, fmax_hz=cfg.key_hpcp_bass_fmax_hz,
                 )
                 w = float(np.clip(cfg.key_hpcp_bass_weight, 0.0, 1.0))
-                from ..chroma.postprocess import l2_normalize_chroma
+                from ..chroma.postprocess import l2_normalize_zero
 
-                ch = l2_normalize_chroma((1.0 - w) * full + w * bass)
+                ch = l2_normalize_zero((1.0 - w) * full + w * bass)
             else:
                 ch = chx.frames_to_hpcp(
                     central, sample_rate, frame_size, cfg.soft_mapping_sigma, tuning_offset,

@@ -136,9 +136,17 @@ def estimate_bpm_tempogram(
     ac_primary_bpm = jnp.asarray(full.ac_grid)[ac_primary_idx]
 
     # --- seed candidates (tempogram.rs:537-556) ---
+    # FFT seeds are restricted to local maxima: with the zero-padded fine BPM
+    # grid (tempogram_fft.padded_fft_size) the raw top-8 bins would all sit on
+    # one peak's lobe and dedup into a single candidate, losing the seed
+    # diversity the reference gets for free from its coarse grid.
     seeds = []
     for v in variants:
-        fvals, fidx = jax.lax.top_k(v.fft_power, min(SEEDS_PER_METHOD, v.fft_power.shape[-1]))
+        p = v.fft_power
+        left = jnp.concatenate([p[:, :1], p[:, :-1]], axis=-1)
+        right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=-1)
+        peaks = jnp.where((p >= left) & (p >= right), p, 0.0)
+        fvals, fidx = jax.lax.top_k(peaks, min(SEEDS_PER_METHOD, p.shape[-1]))
         seeds.append(jnp.asarray(v.fft_bpms)[fidx])
         avals, aidx = jax.lax.top_k(v.ac_strength, min(SEEDS_PER_METHOD, v.ac_strength.shape[-1]))
         seeds.append(jnp.asarray(v.ac_grid)[aidx])

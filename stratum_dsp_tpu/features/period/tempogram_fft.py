@@ -29,6 +29,23 @@ def next_pow2(n: int) -> int:
     return p
 
 
+# Minimum BPM granularity of the FFT-tempogram grid. The reference pads only
+# to next_pow2(len(novelty)) (tempogram_fft.rs:119-125), which at short track
+# lengths coarsens the grid to ~5 BPM — candidates snap to off-tempo bins
+# (e.g. 121.12 for a true 120) and the beat grid drifts. Zero-padding is pure
+# spectral interpolation (same continuous spectrum, finer sampling), so
+# enforcing a resolution finer than the 0.75-BPM dedup tolerance fixes the
+# short-track snap without touching any scoring threshold.
+MIN_RESOLUTION_BPM = 0.7
+
+
+def padded_fft_size(n: int, frame_rate: float) -> int:
+    """FFT size: next pow2 of the novelty length, zero-padded so the BPM grid
+    spacing frame_rate*60/fft_size is at most MIN_RESOLUTION_BPM."""
+    need = int(np.ceil(frame_rate * 60.0 / MIN_RESOLUTION_BPM))
+    return next_pow2(max(n, need))
+
+
 @functools.lru_cache(maxsize=64)
 def fft_bpm_bins(
     fft_size: int, frame_rate: float, min_bpm: float, max_bpm: float

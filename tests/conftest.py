@@ -14,15 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Persistent compilation cache: the suite is compile-bound on CPU.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stratum_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import jax  # noqa: E402
 
 # The axon TPU plugin overrides the JAX_PLATFORMS env var in this
 # environment; only an explicit config update actually selects CPU.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-bound on CPU. The env
+# vars (JAX_COMPILATION_CACHE_DIR etc.) are silently ignored under the axon
+# plugin — only explicit config updates take effect here.
+jax.config.update("jax_compilation_cache_dir", "/tmp/stratum_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -39,27 +39,33 @@ def fixture_results():
 
 
 def test_120bpm_fixture(fixture_results):
+    # Reference-strict asserts (integration_tests.rs:47-118), with the
+    # interval check applied to EVERY interval, not just beats[1]-beats[0].
     r = fixture_results[0]
-    assert abs(r.bpm - 120.0) <= 2.05, r.bpm
+    assert 7.0 < r.metadata.duration_seconds < 9.0
+    assert abs(r.bpm - 120.0) < 2.0, r.bpm
     # a pure kick train is metrically ambiguous (60/120/240 all score
-    # equally), so the reference's separation-based confidence is ~0
-    assert r.bpm_confidence >= 0.0
+    # equally), so the reference's separation-based confidence is near 0
+    assert r.bpm_confidence > 0.0
     beats = r.beat_grid.beats
-    # the padded batch coarsens the FFT-tempogram grid to ~118 BPM; the
-    # resulting 0.5084 s beat grid drifts off the true 0.5 s onsets and the
-    # emission gate drops later beats (reference behavior for an off-grid
-    # tempo estimate)
     assert len(beats) >= 4
+    assert 0.0 <= r.grid_stability <= 1.0
     intervals = np.diff(beats)
-    # beat interval ~0.5 s (integration_tests.rs beat interval +-0.1)
-    assert abs(np.median(intervals) - 0.5) < 0.1
+    assert np.all(np.abs(intervals - 0.5) < 0.1), intervals
+    downbeats = r.beat_grid.downbeats
+    if len(downbeats) >= 2:
+        assert 1.0 <= downbeats[1] - downbeats[0] <= 4.0
 
 
 def test_128bpm_fixture(fixture_results):
     r = fixture_results[1]
-    assert abs(r.bpm - 128.0) <= 2.05, r.bpm
-    intervals = np.diff(r.beat_grid.beats)
-    assert abs(np.median(intervals) - 60.0 / 128.0) < 0.1
+    assert 7.0 < r.metadata.duration_seconds < 8.0
+    assert abs(r.bpm - 128.0) <= 2.0, r.bpm
+    assert r.bpm_confidence > 0.0
+    beats = r.beat_grid.beats
+    assert len(beats) >= 4
+    intervals = np.diff(beats)
+    assert np.all(np.abs(intervals - 60.0 / 128.0) < 0.1), intervals
 
 
 def test_cmajor_scale_key(fixture_results):

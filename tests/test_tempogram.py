@@ -22,7 +22,7 @@ def estimate_batch_bpm(tracks, cfg=CFG):
     )
     curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
     frame_rate = SAMPLE_RATE / cfg.hop_size
-    fft_size = tft.next_pow2(curves["full"].shape[-1])
+    fft_size = tft.padded_fft_size(curves["full"].shape[-1], frame_rate)
     variants = tg.compute_variants(curves, nov_mask, n_valid, frame_rate, cfg, fft_size)
     return tg.estimate_bpm_tempogram(variants, cfg, frame_rate, fft_size, top_n=10)
 
