@@ -215,8 +215,29 @@ def analyze_batch_arrays(
         # batches skip its runtime entirely.
         top_k = max(cfg.tempogram_multi_res_top_k, 1)
 
+        # The base pass already IS the hop-512 pass when cfg.hop_size == 512
+        # (every production config): hand its candidates, novelty and streamed
+        # features to multi-res so only the hop-256 STFT runs inside the cond
+        # — the hop-1024 curves are derived by decimating the hop-512
+        # features. Falls back to the 3-STFT recompute for exotic hop sizes.
+        precomputed = None
+        if cfg.hop_size == 512:
+            precomputed = {
+                "est": base,
+                "feats": {
+                    k: feats[k]
+                    for k in ("superflux", "superflux2", "energy", "hfc", "mel")
+                    if k in feats
+                },
+                "frame_counts": frame_counts,
+                "novelty_full": curves["full"],
+                "n_valid": n_valid,
+            }
+
         def run_mr(_):
-            return mr.multi_resolution_estimate(samples, lengths, cfg, sample_rate)
+            return mr.multi_resolution_estimate(
+                samples, lengths, cfg, sample_rate, precomputed
+            )
 
         def skip_mr(_):
             z = jnp.zeros((b,), jnp.float32)

@@ -165,9 +165,24 @@ def multi_resolution_estimate(
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
+    precomputed=None,
 ) -> Dict[str, jax.Array]:
     """Full multi-res pass. Returns dict bpm/confidence/method_agreement plus
-    the hop-512 candidate arrays with 'selected' recomputed."""
+    the hop-512 candidate arrays with 'selected' recomputed.
+
+    ``precomputed`` (optional) carries the orchestrator's base hop-512
+    artifacts so only the hop-256 STFT actually runs here:
+
+    * ``est`` — the base tempogram estimate's dict (score-ordered candidate
+      arrays, >= top_k wide). Identical to what a fresh hop-512 pass would
+      produce because the base pass IS the hop-512 pass (cfg.hop_size == 512
+      for every production config).
+    * ``feats``/``frame_counts`` — the streamed per-frame features; the
+      hop-1024 candidate list derives from them via
+      ``novelty.decimate_features_2x`` (zero extra STFT work).
+    * ``novelty_full``/``n_valid`` — hop-512 full-band novelty for the
+      beat-contrast phase search.
+    """
     top_k = max(cfg.tempogram_multi_res_top_k, 1)
     aux_k = int(np.clip(top_k * 4, 25, 200))
     tol = max(2.0, cfg.bpm_resolution)
@@ -178,10 +193,36 @@ def multi_resolution_estimate(
     margin_threshold = cfg.tempogram_multi_res_margin_threshold
 
     c256, _, _, _ = hop_candidates(samples, lengths, cfg, sample_rate, 256, aux_k)
-    c512, nov512, nov_mask512, nval512 = hop_candidates(
-        samples, lengths, cfg, sample_rate, 512, top_k
-    )
-    c1024, _, _, _ = hop_candidates(samples, lengths, cfg, sample_rate, 1024, aux_k)
+    if precomputed is not None:
+        c512 = {k: precomputed["est"][k][:, :top_k] for k in (
+            "cand_bpm", "cand_score", "cand_fft", "cand_ac", "cand_valid", "cand_selected"
+        )}
+        nov512 = precomputed["novelty_full"]
+        nval512 = precomputed["n_valid"]
+        feats1024, fc1024 = nov.decimate_features_2x(
+            precomputed["feats"], precomputed["frame_counts"]
+        )
+        feats1024["band_names"] = nov.active_band_names(
+            cfg, sample_rate, cfg.frame_size
+        )
+        curves1024, mask1024, nval1024 = nov.assemble_novelty_curves(
+            feats1024, fc1024, cfg
+        )
+        frame_rate_1024 = sample_rate / 1024
+        fft_size_1024 = tft.padded_fft_size(
+            curves1024["full"].shape[-1], frame_rate_1024
+        )
+        variants1024 = tg.compute_variants(
+            curves1024, mask1024, nval1024, frame_rate_1024, cfg, fft_size_1024
+        )
+        c1024 = tg.estimate_bpm_tempogram(
+            variants1024, cfg, frame_rate_1024, fft_size_1024, aux_k
+        )
+    else:
+        c512, nov512, _nov_mask512, nval512 = hop_candidates(
+            samples, lengths, cfg, sample_rate, 512, top_k
+        )
+        c1024, _, _, _ = hop_candidates(samples, lengths, cfg, sample_rate, 1024, aux_k)
 
     t_bpm = c512["cand_bpm"][:, :top_k]  # [B, K]
     t_valid = c512["cand_valid"][:, :top_k] & jnp.isfinite(t_bpm) & (t_bpm > 0.0)

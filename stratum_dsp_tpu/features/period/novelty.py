@@ -90,11 +90,12 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
 
     active_bands = bands if use_bands else bands[:1]
     bin_weights = jnp.arange(n_bins, dtype=jnp.float32)
+    emit_stride2 = cfg.enable_tempogram_multi_resolution
 
     def reducer(spec, fidx, fvalid, carry):
-        prev_frame = carry  # [B, K] previous raw magnitude frame
+        prev2_frames = carry  # [B, 2, K] previous two raw magnitude frames
         b, c, k = spec.shape
-        prev = jnp.concatenate([prev_frame[:, None, :], spec[:, :-1, :]], axis=1)
+        prev = jnp.concatenate([prev2_frames[:, 1:, :], spec[:, :-1, :]], axis=1)
 
         log_cur = jnp.log1p(jnp.maximum(spec, 0.0))
         log_prev = jnp.log1p(jnp.maximum(prev, 0.0))
@@ -115,6 +116,22 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
 
         outs = {"superflux": sf, "energy": energy, "hfc": hfc}
 
+        if emit_stride2:
+            # Stride-2 SuperFlux (frame f vs f-2): the hop-2H novelty of the
+            # SAME signal — hop-2H STFT frames are exactly the even-index
+            # hop-H frames, so the multi-res hop-1024 pass derives all its
+            # curves from this pass's features with zero extra STFT work
+            # (multi_resolution.rs:237-239 recomputes the STFT instead).
+            prev2 = jnp.concatenate([prev2_frames, spec[:, :-2, :]], axis=1)
+            log_prev2 = jnp.log1p(jnp.maximum(prev2, 0.0))
+            outs["superflux2"] = jnp.stack(
+                [
+                    _superflux_step(log_prev2, log_cur, sf_k, s, e)
+                    for (_, s, e, _) in active_bands
+                ],
+                axis=-1,
+            )
+
         if use_mel:
             outs["mel"] = jnp.dot(log_cur, mel_w, preferred_element_type=jnp.float32)
 
@@ -127,11 +144,11 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
         d = jnp.maximum(cur_n - prev_n, 0.0)
         outs["onset_sflux"] = jnp.sqrt(jnp.sum(d * d, axis=-1))
 
-        new_carry = spec[:, -1, :]
+        new_carry = spec[:, -2:, :]
         return outs, new_carry
 
     def carry_init(b):
-        return jnp.zeros((b, n_bins), jnp.float32)
+        return jnp.zeros((b, 2, n_bins), jnp.float32)
 
     return reducer, carry_init, [name for (name, _, _, _) in active_bands]
 
@@ -178,6 +195,39 @@ def compute_bpm_features_from_spec(
     outs, _ = reducer(spec, fidx, fvalid, carry_init(b))
     outs["band_names"] = band_names
     return outs
+
+
+def active_band_names(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
+    """Band-name list the reducer emits for this config (order matches the
+    feature arrays' last axis)."""
+    bands = band_edges(cfg, sample_rate, frame_size // 2 + 1)
+    active = bands if cfg.enable_tempogram_band_fusion else bands[:1]
+    return [name for (name, _, _, _) in active]
+
+
+def decimate_features_2x(features: Dict[str, jax.Array], frame_counts: jax.Array):
+    """Hop-2H per-frame features from hop-H streamed features.
+
+    Hop-2H STFT frames are the even-index hop-H frames (same frame size), so:
+    per-frame values (energy, hfc, mel) decimate by 2, and the flux-type
+    feature comes from the stride-2 SuperFlux channel the reducer emits.
+    Replaces the reference's full hop-1024 STFT recompute
+    (multi_resolution.rs:237-239) with pure reindexing.
+
+    Returns (features_2h, frame_counts_2h).
+    """
+    assert "superflux2" in features, "reducer must emit stride-2 superflux"
+    out = {
+        "superflux": features["superflux2"][:, ::2, :],
+        "energy": features["energy"][:, ::2, :],
+        "hfc": features["hfc"][:, ::2, :],
+    }
+    if "band_names" in features:
+        out["band_names"] = features["band_names"]
+    if "mel" in features:
+        out["mel"] = features["mel"][:, ::2, :]
+    fc2 = jnp.where(frame_counts > 0, (frame_counts - 1) // 2 + 1, 0)
+    return out, fc2
 
 
 def mel_superflux_from_frames(

@@ -19,23 +19,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _downbeat_kernel(times_ref, nbeats_ref, bar_ref, out_ref):
-    """Full arrays in SMEM; one track per grid cell (row = program id)."""
-    row = pl.program_id(0)
+    """One track per grid cell; only that track's row is staged into SMEM
+    (a full-batch [B, N] block overflows the 1 MB SMEM at B >= 64)."""
     n_slots = times_ref.shape[1]
-    n = nbeats_ref[row]
-    bar = bar_ref[row]
+    n = nbeats_ref[0]
+    bar = bar_ref[0]
     tol = bar * 0.1
 
     def step(i, carry):
         last_db, any_db = carry
-        t = times_ref[row, i]
+        t = times_ref[0, i]
         ok = i < n
         first = jnp.logical_and(ok, jnp.logical_not(any_db))
         hit = jnp.logical_and(
             jnp.logical_and(ok, any_db), jnp.abs(t - (last_db + bar)) <= tol
         )
         is_db = jnp.logical_or(first, hit)
-        out_ref[row, i] = is_db.astype(jnp.int32)
+        out_ref[0, i] = is_db.astype(jnp.int32)
         last_db = jnp.where(is_db, t, last_db)
         any_db = jnp.logical_or(any_db, is_db)
         return last_db, any_db
@@ -53,11 +53,11 @@ def downbeat_mask(
         _downbeat_kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((b, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((b, n), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
         interpret=interpret,
     )(times, n_beats.astype(jnp.int32), bar.astype(jnp.float32))

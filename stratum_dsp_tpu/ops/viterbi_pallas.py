@@ -38,12 +38,11 @@ def _transition_matrix() -> np.ndarray:
 
 
 def _viterbi_kernel(em_ref, states_ref, v_scratch, bp_scratch):
-    """One track per grid cell. em_ref [1, T, 1] f32 VMEM; states_ref [B, T]
-    int32 SMEM out (full array, row-indexed by program id — scalar stores are
-    SMEM-only on TPU and SMEM blocks must cover the array); v_scratch SMEM
-    (NUM_STATES,); bp_scratch SMEM [T, NUM_STATES] int32."""
+    """One track per grid cell. em_ref [1, T, 1] f32 VMEM; states_ref [1, T]
+    int32 SMEM out (blocked per row — a full-batch SMEM block overflows the
+    1 MB SMEM at large B); v_scratch SMEM (NUM_STATES,); bp_scratch SMEM
+    [T, NUM_STATES] int32."""
     t_total = em_ref.shape[1]
-    row = pl.program_id(0)
     trans = _transition_matrix()  # python constant -> unrolled
 
     # init: uniform prior * first emission (hmm.rs:330-334)
@@ -78,14 +77,14 @@ def _viterbi_kernel(em_ref, states_ref, v_scratch, bp_scratch):
         take = v_scratch[s] > best
         best = jnp.where(take, v_scratch[s], best)
         best_s = jnp.where(take, jnp.int32(s), best_s)
-    states_ref[row, t_total - 1] = best_s
+    states_ref[0, t_total - 1] = best_s
 
     def back(i, cur):
         t = t_total - 1 - i  # t from T-1 down to 1
         nxt = jnp.int32(0)
         for s in range(NUM_STATES):
             nxt = jnp.where(cur == s, bp_scratch[t, s], nxt)
-        states_ref[row, t - 1] = nxt
+        states_ref[0, t - 1] = nxt
         return nxt
 
     jax.lax.fori_loop(0, t_total - 1, back, best_s)
@@ -100,7 +99,7 @@ def viterbi_decode(emissions: jax.Array, interpret: bool = False) -> jax.Array:
         _viterbi_kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((b, t), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, t), lambda i: (i, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b, t), jnp.int32),
         scratch_shapes=[
             pltpu.SMEM((NUM_STATES,), jnp.float32),

@@ -73,19 +73,20 @@ def compute_bpm_spectral_features_sharded(
         # right-context halo: first `halo` samples of the right neighbor
         right_perm = [(i, (i - 1) % d) for i in range(d)]
         recv_right = jax.lax.ppermute(block[:, :halo], "time", right_perm)
-        # left-context: last `hop` samples of the left neighbor (for the
-        # previous-frame carry of the first frame in this block)
+        # left-context: last `2*hop` samples of the left neighbor — the flux
+        # features carry TWO previous frames of spectral context (stride-2
+        # SuperFlux for the derived hop-2H novelty needs frame f-2)
         left_perm = [(i, (i + 1) % d) for i in range(d)]
-        recv_left = jax.lax.ppermute(block[:, -hop:], "time", left_perm)
+        recv_left = jax.lax.ppermute(block[:, -2 * hop :], "time", left_perm)
 
         ext = jnp.concatenate([recv_left, block, recv_right], axis=1)
-        # frames of ext start at global sample (ti*t_blk - hop); frame j of
-        # ext = global frame (ti*frames_per_block - 1 + j)
-        n_ext_frames = frames_per_block + 1
+        # frames of ext start at global sample (ti*t_blk - 2*hop); frame j of
+        # ext = global frame (ti*frames_per_block - 2 + j)
+        n_ext_frames = frames_per_block + 2
         frames = extract_frames(ext, n_ext_frames, frame_size, hop)
         spec = stft_magnitude_chunk(frames, window)
 
-        first_global = ti * frames_per_block - 1
+        first_global = ti * frames_per_block - 2
         fidx = first_global + jnp.arange(n_ext_frames)
         frame_counts_local = jnp.where(
             lengths_rep >= frame_size, (lengths_rep - frame_size) // hop + 1, 0
@@ -96,8 +97,8 @@ def compute_bpm_spectral_features_sharded(
 
         bloc = block.shape[0]
         outs, _ = reducer(spec, fidx, fvalid, carry_init(bloc))
-        # drop the leading context frame; it was only the flux predecessor
-        outs = jax.tree_util.tree_map(lambda x: x[:, 1:], outs)
+        # drop the two leading context frames; they were only flux predecessors
+        outs = jax.tree_util.tree_map(lambda x: x[:, 2:], outs)
         # gather features from every time block -> full frame axis
         outs = jax.tree_util.tree_map(
             lambda x: jax.lax.all_gather(x, "time", axis=1, tiled=True), outs
@@ -105,10 +106,12 @@ def compute_bpm_spectral_features_sharded(
         return outs
 
     specs_in = (P("tracks", "time"), P("tracks"))
-    out_specs = jax.tree_util.tree_map(
-        lambda _: P("tracks"), {"superflux": 0, "energy": 0, "hfc": 0,
-                                "onset_sflux": 0, **({"mel": 0} if cfg.enable_tempogram_mel_novelty else {})}
-    )
+    template = {"superflux": 0, "energy": 0, "hfc": 0, "onset_sflux": 0}
+    if cfg.enable_tempogram_multi_resolution:
+        template["superflux2"] = 0
+    if cfg.enable_tempogram_mel_novelty:
+        template["mel"] = 0
+    out_specs = jax.tree_util.tree_map(lambda _: P("tracks"), template)
     feats = jax.shard_map(
         block_fn, mesh=mesh, in_specs=specs_in, out_specs=out_specs,
         check_vma=False,

@@ -114,3 +114,30 @@ def pad_batch(tracks: Sequence[np.ndarray], pad_to: int | None = None) -> Tuple[
     for i, trk in enumerate(tracks):
         out[i, : len(trk)] = trk
     return out, lengths
+
+
+def kick_pattern_device(bpms, duration_s: float, sample_rate: int = SAMPLE_RATE,
+                        kick_ms: float = 100.0, decay: float = 10.0,
+                        fundamental_hz: float = 60.0):
+    """Device-side batched kick trains: ``bpms [B]`` -> ``[B, T]`` float32.
+
+    Same signal family as :func:`kick_pattern` in closed form (kicks never
+    overlap for bpm <= 240, so sample i is the kick waveform evaluated at
+    ``t mod beat_interval``). Exists because the axon tunnel's host->device
+    path runs at ~8 MB/s — synthesizing a [128, 7.9M] bench batch on device
+    is instant, transferring it would take minutes.
+    """
+    import jax.numpy as jnp
+
+    n = int(duration_s * sample_rate)
+    bpms = jnp.asarray(bpms, jnp.float32)
+    t = jnp.arange(n, dtype=jnp.float32) / sample_rate  # [T]
+    interval = 60.0 / bpms[:, None]  # [B, 1]
+    ts = jnp.mod(t[None, :], interval)  # time since last beat
+    w = 2.0 * jnp.pi * fundamental_hz * ts
+    kick = (0.6 * jnp.sin(w) + 0.3 * jnp.sin(2 * w) + 0.1 * jnp.sin(3 * w)) * jnp.exp(
+        -decay * ts
+    )
+    out = jnp.where(ts < kick_ms / 1000.0, kick, 0.0)
+    peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+    return (out / jnp.maximum(peak, 1e-9)).astype(jnp.float32)
