@@ -3,12 +3,15 @@
 // TPU-native replacement for the reference's host-side decode layer
 // (symphonia in examples/analyze_file.rs:25-180 and the rayon batch pool in
 // examples/analyze_batch.rs:239-262): a C++ library that decodes WAV (own
-// RIFF parser, all common sample formats) and MP3 (libmpg123, dlopen'd so a
-// missing lib degrades gracefully), mixes to mono, optionally resamples, and
-// runs a std::thread decode pool for batches. Exposed as a C API consumed by
-// Python via ctypes (stratum_dsp_tpu/io/decode.py).
+// RIFF parser, all common sample formats), FLAC (own from-scratch decoder,
+// flac_decoder.cpp), MP3 (libmpg123, dlopen'd so a missing lib degrades
+// gracefully) and OGG Vorbis (libvorbisfile, dlopen'd), mixes to mono,
+// optionally resamples, and runs a std::thread decode pool for batches.
+// Exposed as a C API consumed by Python via ctypes
+// (stratum_dsp_tpu/io/decode.py).
 //
-// Build: g++ -O3 -shared -fPIC -o libstratum_audio.so stratum_audio.cpp -ldl -lpthread
+// Build: g++ -O3 -shared -fPIC -std=c++17 -o libstratum_audio.so \
+//            stratum_audio.cpp flac_decoder.cpp -ldl -lpthread
 
 #include <atomic>
 #include <cstdint>
@@ -20,6 +23,11 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+// flac_decoder.cpp
+int flac_decode_buffer(const uint8_t* buf, size_t size,
+                       std::vector<float>* interleaved, int* channels_out,
+                       int* sample_rate_out);
 
 namespace {
 
@@ -35,6 +43,7 @@ enum SaError {
   SA_ERR_UNSUPPORTED = 3,
   SA_ERR_ALLOC = 4,
   SA_ERR_MP3_UNAVAILABLE = 5,
+  SA_ERR_OGG_UNAVAILABLE = 6,
 };
 
 struct Decoded {
@@ -266,14 +275,122 @@ int decode_mp3(const char* path, int mix_mode, Decoded& dec) {
   return SA_OK;
 }
 
+// ---------------------------------------------------------------------------
+// FLAC (own decoder, flac_decoder.cpp)
+// ---------------------------------------------------------------------------
+
+int decode_flac(const char* path, int mix_mode, Decoded& dec) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return SA_ERR_OPEN;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(size);
+  if (std::fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    std::fclose(f);
+    return SA_ERR_OPEN;
+  }
+  std::fclose(f);
+
+  std::vector<float> interleaved;
+  int channels = 0, sr = 0;
+  int rc = flac_decode_buffer(buf.data(), buf.size(), &interleaved, &channels, &sr);
+  if (rc != 0) return rc == 3 ? SA_ERR_UNSUPPORTED : SA_ERR_FORMAT;
+  mix_to_mono(interleaved.data(),
+              static_cast<int64_t>(interleaved.size() / channels), channels,
+              mix_mode, dec.mono);
+  dec.sample_rate = sr;
+  return SA_OK;
+}
+
+// ---------------------------------------------------------------------------
+// OGG Vorbis via libvorbisfile (dlopen)
+// ---------------------------------------------------------------------------
+
+struct OggVorbisFile {  // mirror of OggVorbis_File, opaque blob large enough
+  unsigned char opaque[1024];
+};
+struct VorbisInfoMini {
+  int version;
+  int channels;
+  long rate;
+  // (trailing fields unused)
+};
+
+struct VorbisApi {
+  void* lib = nullptr;
+  int (*fopen)(const char*, OggVorbisFile*) = nullptr;
+  VorbisInfoMini* (*info)(OggVorbisFile*, int) = nullptr;
+  long (*read_float)(OggVorbisFile*, float***, int, int*) = nullptr;
+  int (*clear)(OggVorbisFile*) = nullptr;
+  bool ok = false;
+};
+
+VorbisApi& vorbis_api() {
+  static VorbisApi api;
+  static std::once_flag once;
+  std::call_once(once, [] {
+    api.lib = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_GLOBAL);
+    if (!api.lib) api.lib = dlopen("libvorbisfile.so", RTLD_NOW | RTLD_GLOBAL);
+    if (!api.lib) return;
+    api.fopen = (int (*)(const char*, OggVorbisFile*))dlsym(api.lib, "ov_fopen");
+    api.info = (VorbisInfoMini * (*)(OggVorbisFile*, int)) dlsym(api.lib, "ov_info");
+    api.read_float =
+        (long (*)(OggVorbisFile*, float***, int, int*))dlsym(api.lib, "ov_read_float");
+    api.clear = (int (*)(OggVorbisFile*))dlsym(api.lib, "ov_clear");
+    if (api.fopen && api.info && api.read_float && api.clear) api.ok = true;
+  });
+  return api;
+}
+
+int decode_ogg(const char* path, int mix_mode, Decoded& dec) {
+  VorbisApi& api = vorbis_api();
+  if (!api.ok) return SA_ERR_OGG_UNAVAILABLE;
+  OggVorbisFile vf;
+  std::memset(&vf, 0, sizeof(vf));
+  if (api.fopen(path, &vf) != 0) return SA_ERR_FORMAT;
+  VorbisInfoMini* vi = api.info(&vf, -1);
+  if (!vi || vi->channels <= 0) {
+    api.clear(&vf);
+    return SA_ERR_FORMAT;
+  }
+  int channels = vi->channels;
+  long rate = vi->rate;
+  std::vector<float> interleaved;
+  int bitstream = 0;
+  for (;;) {
+    float** pcm = nullptr;
+    long n = api.read_float(&vf, &pcm, 4096, &bitstream);
+    if (n <= 0) break;
+    size_t base = interleaved.size();
+    interleaved.resize(base + size_t(n) * channels);
+    for (long i = 0; i < n; i++)
+      for (int c = 0; c < channels; c++)
+        interleaved[base + size_t(i) * channels + c] = pcm[c][i];
+  }
+  api.clear(&vf);
+  if (interleaved.empty()) return SA_ERR_FORMAT;
+  mix_to_mono(interleaved.data(),
+              static_cast<int64_t>(interleaved.size() / channels), channels,
+              mix_mode, dec.mono);
+  dec.sample_rate = static_cast<int>(rate);
+  return SA_OK;
+}
+
 int decode_any(const char* path, int mix_mode, Decoded& dec) {
   const char* ext = std::strrchr(path, '.');
   if (ext && (!strcasecmp(ext, ".mp3"))) return decode_mp3(path, mix_mode, dec);
+  if (ext && (!strcasecmp(ext, ".flac"))) return decode_flac(path, mix_mode, dec);
+  if (ext && (!strcasecmp(ext, ".ogg"))) return decode_ogg(path, mix_mode, dec);
   int rc = decode_wav(path, mix_mode, dec);
   if (rc == SA_ERR_FORMAT && ext && !strcasecmp(ext, ".wav")) return rc;
   if (rc != SA_OK) {
-    // fall back to mp3 decode for unknown extensions
-    int rc2 = decode_mp3(path, mix_mode, dec);
+    // content sniffing for unknown/wrong extensions
+    int rc2 = decode_flac(path, mix_mode, dec);
+    if (rc2 == SA_OK) return SA_OK;
+    rc2 = decode_ogg(path, mix_mode, dec);
+    if (rc2 == SA_OK) return SA_OK;
+    rc2 = decode_mp3(path, mix_mode, dec);
     if (rc2 == SA_OK) return SA_OK;
   }
   return rc;
@@ -333,5 +450,7 @@ void sa_decode_batch(const char** paths, int n, int target_sr, int mix_mode,
 }
 
 int sa_mp3_available() { return mpg123_api().ok ? 1 : 0; }
+
+int sa_ogg_available() { return vorbis_api().ok ? 1 : 0; }
 
 }  // extern "C"

@@ -1,5 +1,6 @@
-"""Audio decode: native C++ library (WAV + MP3 via libmpg123, threaded batch
-pool) with a pure-Python WAV fallback.
+"""Audio decode: native C++ library (WAV; FLAC via the from-scratch decoder
+in native/flac_decoder.cpp; MP3 via libmpg123; OGG via libvorbisfile; threaded
+batch pool) with a pure-Python WAV fallback.
 
 The native library (``native/stratum_audio.cpp``) replaces the reference's
 symphonia decode layer (examples/analyze_file.rs:25-180) and rayon batch pool
@@ -33,6 +34,7 @@ _ERR_NAMES = {
     3: "unsupported sample format",
     4: "allocation failure",
     5: "mp3 decoding unavailable (libmpg123 not found)",
+    6: "ogg decoding unavailable (libvorbisfile not found)",
 }
 
 _lib_lock = threading.Lock()
@@ -45,7 +47,8 @@ def _build_native() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", str(_NATIVE_LIB), str(_NATIVE_SRC), "-ldl", "-lpthread",
+                "-o", str(_NATIVE_LIB), str(_NATIVE_SRC),
+                str(_NATIVE_SRC.parent / "flac_decoder.cpp"), "-ldl", "-lpthread",
             ],
             check=True,
             capture_output=True,
@@ -62,9 +65,10 @@ def native_lib() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not _NATIVE_LIB.exists() or (
-            _NATIVE_SRC.exists()
-            and _NATIVE_SRC.stat().st_mtime > _NATIVE_LIB.stat().st_mtime
+        srcs = [_NATIVE_SRC, _NATIVE_SRC.parent / "flac_decoder.cpp"]
+        if not _NATIVE_LIB.exists() or any(
+            s.exists() and s.stat().st_mtime > _NATIVE_LIB.stat().st_mtime
+            for s in srcs
         ):
             if not _NATIVE_SRC.exists() or not _build_native():
                 _lib_failed = True
@@ -89,6 +93,7 @@ def native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.sa_mp3_available.restype = ctypes.c_int
+        lib.sa_ogg_available.restype = ctypes.c_int
         _lib = lib
         return _lib
 
