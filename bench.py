@@ -68,10 +68,19 @@ def main() -> int:
         jax.block_until_ready(s_r)
         inputs.append(s_r)
 
+    # BENCH_TRACE=<dir>: capture a jax.profiler trace of the timed reps
+    # (device ops are visible on a locally-attached TPU; the axon tunnel
+    # only records host activity).
+    import contextlib
+
+    trace_dir = os.environ.get("BENCH_TRACE", "")
+    tracer = jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
+
     t0 = time.time()
-    for s_r in inputs:
-        out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
-        jax.block_until_ready(out)
+    with tracer:
+        for s_r in inputs:
+            out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
+            jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
 
     n_dev = jax.device_count()

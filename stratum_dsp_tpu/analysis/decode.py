@@ -76,6 +76,9 @@ def decode_results(out: Dict, sample_rate: int) -> List[AnalysisResult]:
         meta = AnalysisMetadata(
             duration_seconds=float(host["duration_seconds"][i]),
             sample_rate=sample_rate,
+            processing_time_ms=float(host["processing_time_ms"][i])
+            if "processing_time_ms" in host
+            else 0.0,
             onset_method_consensus=1.0 if host["onset_count"][i] > 0 else 0.0,
             methods_used=["energy_flux", "chroma_extraction", "key_detection"],
             flags=flags,

@@ -89,12 +89,20 @@ def analyze_batch_arrays(
     sample_rate: int,
     caps: PipelineCaps = PipelineCaps(),
     debug_stop_after: str = "",
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     """Run the full pipeline; returns a flat dict of result arrays [B, ...].
 
     Tracks that fail validation (empty / all silent after trimming) have
     ``ok`` False and zeroed outputs, mirroring the reference's error returns
     (lib.rs:100-110, 143-147).
+
+    ``mesh`` (static): a ``jax.sharding.Mesh``. With a ``"time"`` axis, every
+    sample-domain frontend (silence RMS, onset RMS, BPM/multi-res/key STFTs)
+    runs time-block-sharded via ``parallel.timeblocks`` (overlap-save halos
+    over ppermute, features all_gathered); everything downstream stays
+    track-sharded. T must be divisible by n_time * 1024. HPSS paths
+    (spectrogram materialization) are left to the SPMD partitioner.
     """
     b, t = samples.shape
     lengths = lengths.astype(jnp.int32)
@@ -109,7 +117,7 @@ def analyze_batch_arrays(
     if cfg.enable_silence_trimming:
         samples, lengths, sil_info = sil.detect_and_trim(
             samples, lengths, sample_rate, cfg.min_amplitude_db,
-            frame_size=cfg.frame_size,
+            frame_size=cfg.frame_size, mesh=mesh,
         )
         track_ok = track_ok & ~sil_info["all_silent"]
 
@@ -117,14 +125,23 @@ def analyze_batch_arrays(
 
     # --- energy-flux onsets (lib.rs:152-159) ---
     e_pos, e_valid = detect_energy_flux_onsets(
-        samples, lengths, cfg.frame_size, cfg.hop_size, -20.0, caps.max_onsets
+        samples, lengths, cfg.frame_size, cfg.hop_size, -20.0, caps.max_onsets,
+        mesh=mesh,
     )
 
     # --- shared streamed spectral features (lib.rs:164-166) ---
-    feats, frame_counts, _ = nov.compute_bpm_spectral_features(
-        samples, lengths, cfg, sample_rate, cfg.frame_size, cfg.hop_size,
-        chunk_frames=caps.chunk_frames,
-    )
+    if mesh is not None and "time" in mesh.shape:
+        from ..parallel.timeblocks import compute_bpm_spectral_features_sharded
+
+        feats, frame_counts, _ = compute_bpm_spectral_features_sharded(
+            samples, lengths, cfg, sample_rate, cfg.frame_size, cfg.hop_size,
+            mesh,
+        )
+    else:
+        feats, frame_counts, _ = nov.compute_bpm_spectral_features(
+            samples, lengths, cfg, sample_rate, cfg.frame_size, cfg.hop_size,
+            chunk_frames=caps.chunk_frames,
+        )
     curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
     frame_rate = sample_rate / cfg.hop_size
 
@@ -236,7 +253,7 @@ def analyze_batch_arrays(
 
         def run_mr(_):
             return mr.multi_resolution_estimate(
-                samples, lengths, cfg, sample_rate, precomputed
+                samples, lengths, cfg, sample_rate, precomputed, mesh=mesh
             )
 
         def skip_mr(_):
@@ -366,10 +383,11 @@ def analyze_batch_arrays(
     # --- key (lib.rs:961-1559) ---
     if cfg.enable_key_beat_synchronous:
         key = detect_key_batch(
-            samples, lengths, cfg, sample_rate, grid.beat_times, grid.beat_valid
+            samples, lengths, cfg, sample_rate, grid.beat_times, grid.beat_valid,
+            mesh=mesh,
         )
     else:
-        key = detect_key_batch(samples, lengths, cfg, sample_rate)
+        key = detect_key_batch(samples, lengths, cfg, sample_rate, mesh=mesh)
     key_ok = track_ok & (lengths >= cfg.frame_size)
     key_idx = jnp.where(key_ok, key.key_idx, 0)
     key_confidence = jnp.where(key_ok, key.confidence, 0.0)

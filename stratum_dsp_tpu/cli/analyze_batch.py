@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 import time
 from pathlib import Path
@@ -38,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-threads", type=int, default=0, help="0 = CPU count - 1")
     p.add_argument("--max-onsets", type=int, default=2048)
     p.add_argument("--max-beats", type=int, default=1024)
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v: stage INFO logs, -vv: DEBUG batch summaries")
     add_config_flags(p)
     return p
 
@@ -52,6 +55,15 @@ def bucket_for(n_samples: int, sr: int, buckets=DEFAULT_BUCKETS) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(
+            level=logging.DEBUG if args.verbose > 1 else logging.INFO,
+            format="%(asctime)s %(name)s %(levelname)s %(message)s",
+            stream=sys.stderr,
+        )
+        logging.getLogger("stratum_dsp_tpu").setLevel(
+            logging.DEBUG if args.verbose > 1 else logging.INFO
+        )
     cfg = config_from_args(args)
     caps = PipelineCaps(max_onsets=args.max_onsets, max_beats=args.max_beats)
     sr = args.target_sample_rate
@@ -81,12 +93,11 @@ def main(argv=None) -> int:
                 s = decoded[i][0][:bucket_len]
                 batch[j, : len(s)] = s
                 lengths[j] = len(s)
-            t0 = time.time()
-            out = analyze_batch(batch, lengths, cfg, sr, caps)
+            from ..analysis.timing import analyze_batch_timed
+
+            out = analyze_batch_timed(batch, lengths, cfg, sr, caps)
             results = decode_results(out, sr)
-            dt = (time.time() - t0) * 1000.0
             for j, i in enumerate(chunk):
-                results[j].metadata.processing_time_ms = dt / b
                 rec = {"file": args.paths[i], **results[j].to_dict()}
                 out_fh.write(json.dumps(rec) + "\n")
                 n_ok += 1

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 import time
 
@@ -29,12 +30,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-mode", choices=["average", "dominant"], default="average")
     p.add_argument("--max-onsets", type=int, default=2048)
     p.add_argument("--max-beats", type=int, default=1024)
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v: stage INFO logs, -vv: DEBUG batch summaries")
     add_config_flags(p)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.verbose:
+        logging.basicConfig(
+            level=logging.DEBUG if args.verbose > 1 else logging.INFO,
+            format="%(asctime)s %(name)s %(levelname)s %(message)s",
+            stream=sys.stderr,
+        )
+        logging.getLogger("stratum_dsp_tpu").setLevel(
+            logging.DEBUG if args.verbose > 1 else logging.INFO
+        )
     cfg = config_from_args(args)
     mix = MIX_DOMINANT if args.mix_mode == "dominant" else MIX_AVERAGE
 
@@ -45,8 +57,11 @@ def main(argv=None) -> int:
         return 1
 
     caps = PipelineCaps(max_onsets=args.max_onsets, max_beats=args.max_beats)
-    out = analyze_batch(samples[None, :], np.asarray([len(samples)]), cfg, sr, caps)
+    from ..analysis.timing import analyze_batch_timed
+
+    out = analyze_batch_timed(samples[None, :], np.asarray([len(samples)]), cfg, sr, caps)
     result = decode_results(out, sr)[0]
+    # total incl. decode + host assembly (lib.rs:91-92 semantics)
     result.metadata.processing_time_ms = (time.time() - t0) * 1000.0
     if cfg.debug_track_id is not None:
         from ..analysis.debug import emit_debug_dump

@@ -72,12 +72,33 @@ def _key_stft_params(cfg: AnalysisConfig):
     return max(frame_size, 256), max(hop, 1)
 
 
+
+
+def _stft_reduce_any(
+    samples, lengths, frame_size, hop, reducer, carry_init, chunk_frames,
+    halo, keep_bins, mesh,
+):
+    """Plain or time-sharded streamed STFT reduce (same contract/returns)."""
+    if mesh is not None and "time" in mesh.shape:
+        from ...parallel.timeblocks import stft_reduce_sharded
+
+        return stft_reduce_sharded(
+            samples, lengths, frame_size, hop, reducer, carry_init, mesh,
+            prev_frames=0, halo_frames=halo, keep_bins=keep_bins,
+            chunk_frames=chunk_frames,
+        )
+    return stft_reduce(
+        samples, lengths, frame_size, hop, reducer, carry_init,
+        chunk_frames=chunk_frames, halo=halo, keep_bins=keep_bins,
+    )
+
 def estimate_tuning_streamed(
     samples: jax.Array,
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
     chunk_frames: int = 1024,
+    mesh=None,
 ) -> jax.Array:
     """Streamed tuning estimation over the *conditioned* key spectrogram
     (lib.rs:1090-1110): per-chunk partial circular sums, combined at the end.
@@ -121,9 +142,9 @@ def estimate_tuning_streamed(
         return outs, carry
 
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
-    outs, _, _ = stft_reduce(
+    outs, _, _ = _stft_reduce_any(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
-        chunk_frames=chunk_frames, halo=halo, keep_bins=keep_bins,
+        chunk_frames, halo, keep_bins, mesh,
     )
     s_sin = jnp.sum(outs["sin"], axis=-1)
     s_cos = jnp.sum(outs["cos"], axis=-1)
@@ -141,6 +162,7 @@ def collect_hpss_mask(
     cfg: AnalysisConfig,
     sample_rate: int,
     chunk_frames: int = 1024,
+    mesh=None,
 ):
     """Pass A of the key HPSS-median-mask path (extractor.rs:1369-1501):
     collect the time-downsampled band-limited spectrogram and compute the
@@ -161,10 +183,9 @@ def collect_hpss_mask(
         return {"band": jnp.where(fvalid[..., None], band, 0.0)}, carry
 
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
-    outs, _, frame_counts = stft_reduce(
+    outs, _, frame_counts = _stft_reduce_any(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
-        chunk_frames=chunk_frames,
-        keep_bins=_key_keep_bins(cfg, sample_rate, frame_size),
+        chunk_frames, 0, _key_keep_bins(cfg, sample_rate, frame_size), mesh,
     )
     band_ds = outs["band"][:, ::step]
     ds_counts = -(-frame_counts // step)  # ceil: frames 0, step, 2*step, ...
@@ -183,6 +204,7 @@ def extract_key_features(
     tuning_offset=0.0,
     hpss_mask=None,
     chunk_frames: int = 1024,
+    mesh=None,
 ):
     """Stream the key STFT and emit per-frame (chroma [B, F, 12],
     energy [B, F], frame_counts [B]).
@@ -288,16 +310,9 @@ def extract_key_features(
         return {"chroma": ch, "energy": energy}, carry
 
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
-    outs, nf_padded, frame_counts = stft_reduce(
-        samples,
-        lengths,
-        frame_size,
-        hop,
-        reducer,
-        lambda b: jnp.zeros((b,)),
-        chunk_frames=chunk_frames,
-        halo=halo,
-        keep_bins=keep_bins,
+    outs, nf_padded, frame_counts = _stft_reduce_any(
+        samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
+        chunk_frames, halo, keep_bins, mesh,
     )
     return outs["chroma"], outs["energy"], frame_counts
 
@@ -334,7 +349,7 @@ def key_frame_weights(
     return jnp.where(ok, w, jnp.where(fvalid, 1.0, 0.0))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
 def detect_key_batch(
     samples: jax.Array,
     lengths: jax.Array,
@@ -342,17 +357,18 @@ def detect_key_batch(
     sample_rate: int,
     beat_times: jax.Array = None,
     beat_valid: jax.Array = None,
+    mesh=None,
 ) -> KeyResult:
     """Full key path for a batch (lib.rs:961-1559): optional tuning / HPSS /
     beat-sync pre-passes, extract (+condition), sharpen, median-smooth,
     weight, then the configured detector."""
     tuning = 0.0
     if cfg.enable_key_tuning_compensation and not cfg.enable_key_log_frequency:
-        tuning = estimate_tuning_streamed(samples, lengths, cfg, sample_rate)
+        tuning = estimate_tuning_streamed(samples, lengths, cfg, sample_rate, mesh=mesh)
 
     hpss_mask = None
     if cfg.enable_key_hpss_harmonic:
-        hpss_mask = collect_hpss_mask(samples, lengths, cfg, sample_rate)
+        hpss_mask = collect_hpss_mask(samples, lengths, cfg, sample_rate, mesh=mesh)
 
     use_beat_sync = (
         cfg.enable_key_beat_synchronous
@@ -364,7 +380,7 @@ def detect_key_batch(
         # frame_to_chroma, not HPCP — extractor.rs:884-891)
         cfg_frames = cfg.replace(enable_key_hpcp=False)
         fchroma, fenergy, frame_counts = extract_key_features(
-            samples, lengths, cfg_frames, sample_rate, tuning, hpss_mask
+            samples, lengths, cfg_frames, sample_rate, tuning, hpss_mask, mesh=mesh
         )
         _, hop = _key_stft_params(cfg)
         frame_rate = sample_rate / hop
@@ -380,7 +396,7 @@ def detect_key_batch(
         energy = jnp.take_along_axis(energy, order, axis=1)
     else:
         chroma, energy, frame_counts = extract_key_features(
-            samples, lengths, cfg, sample_rate, tuning, hpss_mask
+            samples, lengths, cfg, sample_rate, tuning, hpss_mask, mesh=mesh
         )
     f = chroma.shape[1]
     fvalid = masked.length_mask(frame_counts, f)

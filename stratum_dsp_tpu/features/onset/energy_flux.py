@@ -44,15 +44,25 @@ def detect_energy_flux_onsets(
     hop: int,
     threshold_db: float,
     max_onsets: int,
+    mesh=None,
 ):
     """Detect onsets; returns (positions [B, K] int32 samples, valid [B, K]).
 
     Onset position convention matches the reference: flux index i (transition
     frame i -> i+1) maps to sample ``(i+1)*hop``, kept only if inside the
     track (energy_flux.rs:183-191).
+
+    With a ``(tracks, time)`` ``mesh``, the frame-RMS pass runs time-sharded
+    (parallel.timeblocks); the flux/peak logic below operates on the tiny
+    gathered [B, NF] curve.
     """
     b, t = samples.shape
-    rms, n_frames = frame_rms_energies(samples, lengths, frame_size, hop)
+    if mesh is not None and "time" in mesh.shape:
+        from ...parallel.timeblocks import frame_rms_sharded
+
+        rms, n_frames = frame_rms_sharded(samples, lengths, frame_size, hop, mesh)
+    else:
+        rms, n_frames = frame_rms_energies(samples, lengths, frame_size, hop)
     nf = rms.shape[1]
 
     flux = jnp.maximum(rms[:, 1:] - rms[:, :-1], 0.0)  # [B, NF-1]

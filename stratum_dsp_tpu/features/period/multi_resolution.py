@@ -51,11 +51,19 @@ def hop_candidates(
     sample_rate: int,
     hop: int,
     top_n: int,
+    mesh=None,
 ):
     """One hop's tempogram candidate list + its full-band novelty curve."""
-    feats, frame_counts, _ = nov.compute_bpm_spectral_features(
-        samples, lengths, cfg, sample_rate, cfg.frame_size, hop, chunk_frames=1024
-    )
+    if mesh is not None and "time" in mesh.shape:
+        from ...parallel.timeblocks import compute_bpm_spectral_features_sharded
+
+        feats, frame_counts, _ = compute_bpm_spectral_features_sharded(
+            samples, lengths, cfg, sample_rate, cfg.frame_size, hop, mesh
+        )
+    else:
+        feats, frame_counts, _ = nov.compute_bpm_spectral_features(
+            samples, lengths, cfg, sample_rate, cfg.frame_size, hop, chunk_frames=1024
+        )
     curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
     frame_rate = sample_rate / hop
     fft_size = tft.padded_fft_size(curves["full"].shape[-1], frame_rate)
@@ -159,13 +167,14 @@ def beat_contrast_score(
     return jnp.where(ok, best, 0.0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
 def multi_resolution_estimate(
     samples: jax.Array,
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
     precomputed=None,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     """Full multi-res pass. Returns dict bpm/confidence/method_agreement plus
     the hop-512 candidate arrays with 'selected' recomputed.
@@ -192,7 +201,9 @@ def multi_resolution_estimate(
     dt512 = cfg.tempogram_multi_res_double_time_512_factor
     margin_threshold = cfg.tempogram_multi_res_margin_threshold
 
-    c256, _, _, _ = hop_candidates(samples, lengths, cfg, sample_rate, 256, aux_k)
+    c256, _, _, _ = hop_candidates(
+        samples, lengths, cfg, sample_rate, 256, aux_k, mesh=mesh
+    )
     if precomputed is not None:
         c512 = {k: precomputed["est"][k][:, :top_k] for k in (
             "cand_bpm", "cand_score", "cand_fft", "cand_ac", "cand_valid", "cand_selected"
@@ -220,9 +231,11 @@ def multi_resolution_estimate(
         )
     else:
         c512, nov512, _nov_mask512, nval512 = hop_candidates(
-            samples, lengths, cfg, sample_rate, 512, top_k
+            samples, lengths, cfg, sample_rate, 512, top_k, mesh=mesh
         )
-        c1024, _, _, _ = hop_candidates(samples, lengths, cfg, sample_rate, 1024, aux_k)
+        c1024, _, _, _ = hop_candidates(
+            samples, lengths, cfg, sample_rate, 1024, aux_k, mesh=mesh
+        )
 
     t_bpm = c512["cand_bpm"][:, :top_k]  # [B, K]
     t_valid = c512["cand_valid"][:, :top_k] & jnp.isfinite(t_bpm) & (t_bpm > 0.0)

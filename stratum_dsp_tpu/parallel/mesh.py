@@ -1,25 +1,29 @@
 """Device-mesh scale-out for the analysis pipeline.
 
 The reference's only parallelism is a rayon thread pool over independent
-files (examples/analyze_batch.rs:239-262). The TPU-native equivalent is a
-``jax.sharding.Mesh`` with a ``tracks`` axis: the padded ``[B, T]`` batch is
-sharded over devices with ``NamedSharding(P("tracks"))`` and the whole
-pipeline runs as ONE jitted SPMD program — XLA partitions every stage (all
-stages are track-parallel; no cross-track collectives are needed, so scaling
-is embarrassingly parallel over ICI just like rayon over cores, but with each
-shard running the batched tensor pipeline).
+files (examples/analyze_batch.rs:239-262). The TPU-native equivalents:
+
+* ``tracks`` axis — the padded ``[B, T]`` batch sharded
+  ``NamedSharding(P("tracks"))``; the whole pipeline is ONE jitted SPMD
+  program. Embarrassingly parallel over ICI like rayon over cores, but each
+  shard runs the batched tensor pipeline.
+* ``time`` axis — long tracks split into contiguous sample blocks
+  (sequence/context parallelism). All sample-domain frontends (silence/onset
+  RMS, BPM + multi-res + key STFT features) run via
+  ``parallel.timeblocks.stft_reduce_sharded``: overlap-save halos exchanged
+  with ``ppermute``, per-frame features ``all_gather``-ed (tiny), everything
+  downstream track-sharded. Activated by passing a 2-D mesh to
+  ``analyze_batch_sharded``.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh()``;
 the mesh then spans all processes' devices and per-host shards are assembled
-with ``jax.make_array_from_process_local_data``.
-
-A second ``time`` axis for long-track time-block sharding (overlap-save STFT
-halos via ppermute) is planned in ``parallel/timeblocks.py``; the batch axis
-covers the 500 tracks/sec target since every track is independent.
+with ``jax.make_array_from_process_local_data`` (see
+``scripts/multihost_smoke.py`` for the 2-process runbook).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -29,10 +33,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..analysis.pipeline import PipelineCaps, analyze_batch_arrays
 from ..config import AnalysisConfig
 
+TIME_QUANTUM = 1024  # lcm of every frontend hop (256/512/1024) used on T
 
-def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+
+def make_mesh(devices: Optional[Sequence] = None, n_time: int = 1) -> Mesh:
+    """1-D ``(tracks,)`` mesh, or 2-D ``(tracks, time)`` when n_time > 1."""
     devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.asarray(devices), axis_names=("tracks",))
+    if n_time <= 1:
+        return Mesh(np.asarray(devices), axis_names=("tracks",))
+    n = len(devices)
+    assert n % n_time == 0, f"{n} devices not divisible by n_time={n_time}"
+    grid = np.asarray(devices).reshape(n // n_time, n_time)
+    return Mesh(grid, axis_names=("tracks", "time"))
+
+
+def pad_batch_for_mesh(samples: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Right-pad T to a multiple of n_time * TIME_QUANTUM (no-op on 1-D)."""
+    n_time = dict(zip(mesh.axis_names, mesh.devices.shape)).get("time", 1)
+    m = n_time * TIME_QUANTUM
+    b, t = samples.shape
+    t_pad = -(-t // m) * m
+    if t_pad == t:
+        return samples
+    out = np.zeros((b, t_pad), samples.dtype)
+    out[:, :t] = samples
+    return out
 
 
 def analyze_batch_sharded(
@@ -43,32 +68,48 @@ def analyze_batch_sharded(
     caps: PipelineCaps,
     mesh: Mesh,
 ):
-    """Jit the full pipeline with the batch sharded over the tracks axis."""
-    data_sharding = NamedSharding(mesh, P("tracks"))
-    replicated = NamedSharding(mesh, P())
+    """Jit the full pipeline sharded over the mesh.
 
+    1-D mesh: batch sharded over ``tracks``. 2-D mesh: samples sharded
+    ``P("tracks", "time")`` with the time-block frontends active (pad T with
+    ``pad_batch_for_mesh`` first).
+    """
+    two_d = "time" in mesh.axis_names
+    data_spec = P("tracks", "time") if two_d else P("tracks")
+    data_sharding = NamedSharding(mesh, data_spec)
+    len_sharding = NamedSharding(mesh, P("tracks"))
+    out_sharding = NamedSharding(mesh, P("tracks"))
+
+    # pjit rejects kwargs when in_shardings is given — everything positional
     fn = jax.jit(
         analyze_batch_arrays,
-        static_argnums=(2, 3, 4),
-        in_shardings=(data_sharding, data_sharding),
-        out_shardings=data_sharding,
+        static_argnums=(2, 3, 4, 5, 6),
+        in_shardings=(data_sharding, len_sharding),
+        out_shardings=out_sharding,
     )
     samples = jax.device_put(samples, data_sharding)
-    lengths = jax.device_put(lengths, data_sharding)
-    del replicated
-    return fn(samples, lengths, cfg, sample_rate, caps)
+    lengths = jax.device_put(lengths, len_sharding)
+    return fn(
+        samples, lengths, cfg, sample_rate, caps, "", mesh if two_d else None
+    )
 
 
 def dryrun_multichip(n_devices: int) -> None:
     """Create an n-device mesh, jit the FULL analysis step sharded over it,
-    and run one step on tiny shapes (driver validation hook)."""
-    import os
+    and run one step (driver validation hook).
 
+    Exercises BOTH production shardings: the throughput layout (1-D tracks
+    mesh) on tiny shapes, and the 2-D ``(tracks, time)`` layout with
+    PRODUCTION caps on long tracks (duration via DRYRUN_SECONDS, default 180
+    on TPU / 24 on the virtual-CPU validation mesh where a 3-minute
+    full-pipeline run is minutes of host compute).
+    """
     # The axon TPU plugin in this environment overrides the JAX_PLATFORMS
     # env var; when the caller requested virtual CPU devices via XLA_FLAGS,
     # force the CPU platform explicitly (a config update is the only thing
     # that works here).
-    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    on_cpu = "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+    if on_cpu:
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # backend already initialized — use what we have
@@ -77,22 +118,48 @@ def dryrun_multichip(n_devices: int) -> None:
     assert len(devices) == n_devices, (
         f"need {n_devices} devices, have {len(devices)}"
     )
-    mesh = make_mesh(devices)
 
     cfg = AnalysisConfig()  # full default pipeline incl. multi-res escalation
-    caps = PipelineCaps(max_onsets=128, max_beats=128, seg_beat_cap=16, max_segments=6)
+    sr = 44100
 
-    t = 5 * 8192  # a few key-STFT frames worth of audio (~0.93 s)
+    # --- 1-D tracks mesh: full default pipeline, one track per device ---
+    mesh1 = make_mesh(devices)
+    caps_small = PipelineCaps(max_onsets=128, max_beats=128, seg_beat_cap=16, max_segments=6)
+    t = 5 * 8192
     b = n_devices
     rng = np.random.default_rng(0)
     samples = (rng.standard_normal((b, t)) * 0.1).astype(np.float32)
-    # kick-like impulses so the pipeline has onsets to chew on
     for i in range(b):
         samples[i, :: t // 8] += 0.9
     lengths = np.full((b,), t, np.int32)
-
-    out = analyze_batch_sharded(samples, lengths, cfg, 44100, caps, mesh)
+    out = analyze_batch_sharded(samples, lengths, cfg, sr, caps_small, mesh1)
     jax.block_until_ready(out)
     bpm = np.asarray(out["bpm"])
     assert bpm.shape == (b,), bpm.shape
-    print(f"dryrun_multichip OK: {n_devices} devices, bpm={np.round(bpm, 2)}")
+    print(f"dryrun 1-D tracks mesh OK: {n_devices} devices, bpm={np.round(bpm, 2)}")
+
+    # --- 2-D (tracks, time) mesh: production caps, long tracks ---
+    n_time = 2 if n_devices % 2 == 0 else 1
+    if n_time > 1:
+        secs = float(os.environ.get("DRYRUN_SECONDS", "24" if on_cpu else "180"))
+        mesh2 = make_mesh(devices, n_time=n_time)
+        caps_prod = PipelineCaps()  # production capacities
+        b2 = n_devices // n_time
+        t2 = int(secs * sr)
+        bpms = np.linspace(85.0, 168.0, b2)
+        from ..testing import kick_pattern
+
+        samples2 = np.stack([kick_pattern(x, secs) for x in bpms]).astype(np.float32)
+        lengths2 = np.full((b2,), t2, np.int32)
+        samples2 = pad_batch_for_mesh(samples2, mesh2)
+        out2 = analyze_batch_sharded(samples2, lengths2, cfg, sr, caps_prod, mesh2)
+        jax.block_until_ready(out2)
+        got = np.asarray(out2["bpm"])
+        err = np.abs(got - bpms)
+        fam = np.minimum.reduce([err, np.abs(got - 2 * bpms), np.abs(got - 0.5 * bpms)])
+        assert got.shape == (b2,)
+        print(
+            f"dryrun 2-D (tracks={b2}, time={n_time}) mesh OK: "
+            f"{secs:.0f}s tracks, production caps, bpm={np.round(got, 2)}, "
+            f"family_ok={fam < 2.0}"
+        )

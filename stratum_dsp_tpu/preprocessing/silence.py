@@ -50,6 +50,7 @@ def detect_and_trim(
     threshold_db: float = -40.0,
     min_duration_ms: int = 500,
     frame_size: int = 2048,
+    mesh=None,
 ):
     """Detect leading/trailing silence and shift each track so content starts
     at index 0. Returns (trimmed_samples [B,T], new_lengths [B], info dict).
@@ -68,7 +69,17 @@ def detect_and_trim(
     hop = frame_size // 2
     threshold_linear = 10.0 ** (threshold_db / 20.0)
 
-    rms, n_frames = frame_rms(samples, lengths, frame_size)
+    if mesh is not None and "time" in mesh.shape:
+        # time-sharded frame RMS (the trim-shift below is left to the SPMD
+        # partitioner: one gather pass over the sample axis)
+        from ..parallel.timeblocks import frame_rms_sharded
+
+        rms, n_frames = frame_rms_sharded(samples, lengths, frame_size, hop, mesh)
+        n_frames = jnp.where(
+            lengths >= frame_size, n_frames, jnp.minimum(lengths, 1)
+        ).astype(jnp.int32)
+    else:
+        rms, n_frames = frame_rms(samples, lengths, frame_size)
     nf = rms.shape[1]
     fvalid = masked.length_mask(n_frames, nf)
     silent = (rms <= threshold_linear) & fvalid

@@ -46,3 +46,32 @@ def test_sharded_features_match_unsharded():
                 a[bi, :n], b[bi, :n], rtol=2e-4, atol=2e-4,
                 err_msg=f"{name} mismatch (track {bi})",
             )
+
+
+def test_full_pipeline_2d_mesh_matches_unsharded():
+    """Full default pipeline on a (tracks, time) mesh == unsharded results."""
+    import jax
+    from jax.sharding import Mesh
+    from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays
+    from stratum_dsp_tpu.parallel.mesh import (
+        analyze_batch_sharded, make_mesh, pad_batch_for_mesh,
+    )
+    from stratum_dsp_tpu.testing import kick_pattern, pad_batch
+
+    cfg = AnalysisConfig()
+    caps = PipelineCaps(max_onsets=256, max_beats=256, seg_beat_cap=16, max_segments=6)
+    tracks = [kick_pattern(74.0, 6.0), kick_pattern(132.0, 6.0),
+              kick_pattern(101.0, 5.0), kick_pattern(156.0, 6.0)]
+    samples, lengths = pad_batch(tracks)
+
+    mesh = make_mesh(jax.devices()[:8], n_time=2)  # 4 tracks x 2 time blocks
+    samples_p = pad_batch_for_mesh(samples, mesh)
+    out_sh = analyze_batch_sharded(samples_p, lengths, cfg, 44100, caps, mesh)
+    out_ref = jax.jit(
+        analyze_batch_arrays, static_argnames=("cfg", "sample_rate", "caps")
+    )(jnp.asarray(samples_p), jnp.asarray(lengths), cfg=cfg, sample_rate=44100, caps=caps)
+
+    for k in ("bpm", "bpm_confidence", "key_idx", "key_confidence",
+              "grid_stability", "ok", "multi_res_used"):
+        ref, got = np.asarray(out_ref[k]), np.asarray(out_sh[k])
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5, err_msg=k)

@@ -1,0 +1,36 @@
+"""Observability: timed batch wrapper, processing_time_ms, stage timings."""
+
+import logging
+
+import numpy as np
+
+from stratum_dsp_tpu.analysis import analyze_batch_timed, decode_results
+from stratum_dsp_tpu.analysis.timing import stage_timings
+from stratum_dsp_tpu.config import AnalysisConfig
+from stratum_dsp_tpu.testing import kick_pattern, pad_batch
+
+CFG = AnalysisConfig()
+
+
+def test_timed_batch_stamps_processing_time(caplog):
+    samples, lengths = pad_batch([kick_pattern(120.0, 4.0), kick_pattern(95.0, 4.0)])
+    with caplog.at_level(logging.DEBUG, logger="stratum_dsp_tpu"):
+        out = analyze_batch_timed(samples, lengths, CFG, 44100)
+    assert "processing_time_ms" in out
+    pt = np.asarray(out["processing_time_ms"])
+    assert pt.shape == (2,) and np.all(pt > 0.0)
+    res = decode_results(out, 44100)
+    assert res[0].metadata.processing_time_ms == pt[0]
+    # batch summary logged at DEBUG (host-side analogue of lib.rs:700-706)
+    assert any("analyze_batch" in r.message for r in caplog.records)
+
+
+def test_stage_timings_monotone():
+    samples, lengths = pad_batch([kick_pattern(126.0, 3.0)])
+    t = stage_timings(samples, lengths, CFG, 44100, reps=1, perturb=False)
+    # cumulative prefixes: every stage adds nonnegative work (tolerate timer
+    # jitter on shared CI machines)
+    assert t["onsets"] > 0
+    for name in ("legacy", "multires", "bpm_select", "grid", "full"):
+        assert t[name + "_delta"] > -0.25 * t["full"], (name, t)
+    assert t["full"] >= 0.5 * max(t.get("grid", 0.0), t["onsets"])
