@@ -31,7 +31,7 @@ def main() -> int:
 
     from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays
     from stratum_dsp_tpu.config import AnalysisConfig
-    from stratum_dsp_tpu.testing import kick_pattern
+    from stratum_dsp_tpu.testing import kick_pattern_device
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -41,12 +41,15 @@ def main() -> int:
 
     t = int(TRACK_SECONDS * SR)
     bpms = np.linspace(80.0, 175.0, batch)
-    samples = np.stack([kick_pattern(b, TRACK_SECONDS) for b in bpms]).astype(np.float32)
-    lengths = np.full((batch,), t, np.int32)
+    # synthesize ON DEVICE: the tunnel's host->device path runs at ~8 MB/s,
+    # so shipping the [B, 7.9M] batch would dominate bench startup
+    sj = jax.jit(lambda x: kick_pattern_device(x, TRACK_SECONDS))(
+        jax.device_put(bpms.astype(np.float32))
+    )
+    jax.block_until_ready(sj)
+    lj = jax.device_put(np.full((batch,), t, np.int32))
 
     fn = jax.jit(analyze_batch_arrays, static_argnames=("cfg", "sample_rate", "caps"))
-    sj = jax.device_put(samples)
-    lj = jax.device_put(lengths)
 
     # warmup / compile
     out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)

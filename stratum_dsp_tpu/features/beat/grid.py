@@ -39,7 +39,7 @@ def detect_downbeats(
     """Greedy downbeat marking (mod.rs:363-404): first beat is a downbeat;
     each later beat is one if within ±10% of one bar after the last downbeat.
     ``times`` compacted ascending. Returns a boolean mask over slots."""
-    beats_per_bar = ts.BEATS_PER_BAR[sig_index]
+    beats_per_bar = jnp.asarray(ts.BEATS_PER_BAR)[sig_index]
     bar = (60.0 / jnp.maximum(bpm, EPSILON)) * beats_per_bar
     tol = bar * 0.1
     mb = times.shape[-1]

@@ -15,7 +15,9 @@ EPSILON = 1e-10
 BIG = 1e9
 
 FOUR_FOUR, THREE_FOUR, SIX_EIGHT = 0, 1, 2
-BEATS_PER_BAR = jnp.asarray([4.0, 3.0, 6.0])
+# tuple, not jnp array: a module-level device constant would initialize
+# the JAX backend at import time (breaks the dryrun's platform forcing)
+BEATS_PER_BAR = (4.0, 3.0, 6.0)
 HYPOTHESIS_LAGS = (4, 3, 6)
 
 

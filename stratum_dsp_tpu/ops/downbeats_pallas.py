@@ -27,15 +27,17 @@ ROWS = 8
 
 def _downbeat_kernel(times_ref, nbeats_ref, bar_ref, out_ref):
     n_slots = times_ref.shape[1]
+    row0 = pl.program_id(0) * ROWS  # 1-D scalars stay full-array (rank-1
+    # blocks must equal the array dim on TPU); 2-D blocks are per-8-rows
 
     def step(i, carry):
         # carry: tuple of ROWS (last_db, any_db) pairs, interleaved for ILP
         out = []
         for r in range(ROWS):
             last_db, any_db = carry[2 * r], carry[2 * r + 1]
-            bar = bar_ref[r]
+            bar = bar_ref[row0 + r]
             t = times_ref[r, i]
-            ok = i < nbeats_ref[r]
+            ok = i < nbeats_ref[row0 + r]
             first = jnp.logical_and(ok, jnp.logical_not(any_db))
             hit = jnp.logical_and(
                 jnp.logical_and(ok, any_db),
@@ -69,8 +71,8 @@ def downbeat_mask(
         grid=(bp // ROWS,),
         in_specs=[
             pl.BlockSpec((ROWS, n), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWS,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bp,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bp,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((ROWS, n), lambda i: (i, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((bp, n), jnp.int32),
