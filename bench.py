@@ -57,17 +57,18 @@ def main() -> int:
 
     # Each rep must see a NEVER-BEFORE-RUN input value: the axon tunnel
     # content-caches (executable, input) results server-side, so re-running
-    # on previously-seen values measures cache-fetch time, not compute. A
-    # random sub-1e-6 on-device perturbation (inaudible; BPM/key invariant)
-    # defeats the cache — including across bench invocations — while keeping
-    # host->device transfer out of the timed region.
+    # on previously-seen values measures cache-fetch time, not compute. The
+    # random DC offset must exceed the f32 ulp of EVERY sample (ulp(1.0) =
+    # 1.2e-7) or the buffer fingerprint can collide with a previous run's —
+    # a sub-ulp offset produced 0.7 ms "pipeline" timings. 2e-6..2e-3 DC is
+    # inaudible and BPM/key invariant (flux/chroma are difference/band ops).
     import random
 
     base = random.SystemRandom().randint(1, 1_000_000)
     perturb = jax.jit(lambda x, eps: x + eps)
     inputs = []
     for r in range(reps):
-        s_r = perturb(sj, np.float32((base + r) * 1e-12))
+        s_r = perturb(sj, np.float32(2e-6 * (1 + (base + r) % 997)))
         jax.block_until_ready(s_r)
         inputs.append(s_r)
 
@@ -90,6 +91,34 @@ def main() -> int:
     tracks_per_sec = batch / dt
     per_chip = tracks_per_sec / max(n_dev, 1)
 
+    # TPU-only Pallas kernels: compare against interpret mode on small shapes
+    # (CI runs CPU/interpret only, so a TPU lowering regression would
+    # otherwise ship silently — VERDICT r1 weak item 8).
+    kernels_ok = True
+    if jax.default_backend() == "tpu":
+        from stratum_dsp_tpu.ops.downbeats_pallas import downbeat_mask
+        from stratum_dsp_tpu.ops.viterbi_pallas import viterbi_decode
+
+        import jax.numpy as jnp_
+
+        rng = np.random.default_rng(1)
+        emis = jnp_.asarray(rng.random((5, 96), np.float32) * 0.9 + 0.05)
+        kernels_ok &= bool(
+            np.array_equal(
+                np.asarray(viterbi_decode(emis)),
+                np.asarray(viterbi_decode(emis, True)),
+            )
+        )
+        tms = jnp_.asarray(np.sort(rng.random((5, 64), np.float32) * 30, axis=-1))
+        nb = jnp_.asarray(np.full((5,), 64, np.int32))
+        br = jnp_.asarray(np.full((5,), 2.0, np.float32))
+        kernels_ok &= bool(
+            np.array_equal(
+                np.asarray(downbeat_mask(tms, nb, br)),
+                np.asarray(downbeat_mask(tms, nb, br, True)),
+            )
+        )
+
     # sanity: BPM should be near the seeded values
     got = np.asarray(out["bpm"])
     err = np.abs(got - bpms)
@@ -107,6 +136,7 @@ def main() -> int:
                 "devices": n_dev,
                 "batch_seconds": round(dt, 3),
                 "bpm_family_accuracy": accuracy,
+                "pallas_kernels_ok": kernels_ok,
             }
         )
     )

@@ -63,10 +63,12 @@ def main() -> int:
     base = int.from_bytes(os.urandom(4), "little") % 1_000_000
     times = []
     for r in range(reps):
-        # fresh input value per rep (tunnel content-caches results); the
-        # perturb add is timed too but is ~ms against a ~300 ms pipeline
+        # fresh input value per rep (tunnel content-caches results); the DC
+        # offset must exceed every sample's f32 ulp or the fingerprint can
+        # collide (sub-ulp offsets yielded 0.7 ms "pipelines"); the perturb
+        # add is timed too but is ~ms against a ~300 ms pipeline
         t0 = time.time()
-        s_r = perturb(sj, np.float32((base + r) * 1e-12))
+        s_r = perturb(sj, np.float32(2e-6 * (1 + (base + r) % 997)))
         out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
         jax.block_until_ready(out)
         times.append(time.time() - t0)

@@ -113,7 +113,7 @@ def stage_timings(
             s_i = samples
             if perturb:
                 eps += 1
-                s_i = pert(samples, np.float32(eps * 1e-12))
+                s_i = pert(samples, np.float32(2e-6 * (1 + eps % 997)))
                 jax.block_until_ready(s_i)
             t0 = time.time()
             r = fn(s_i, lengths, cfg=cfg, sample_rate=sample_rate, caps=caps,
