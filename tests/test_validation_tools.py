@@ -201,3 +201,70 @@ def test_run_validation_resume_scoring(tmp_path):
     assert summary["analyzed"] == 1
     assert summary["bpm_acc_2"] == 1.0
     assert summary["key_acc"] == 1.0
+
+
+def test_prepare_test_batch_fma(tmp_path):
+    """FMA-style hierarchical CSVs -> file,bpm,key batch rows (reference
+    prepare_test_batch.py:33-155 semantics)."""
+    from validation.tools.prepare_test_batch import main as prep_main
+
+    meta = tmp_path / "fma_metadata"
+    audio = tmp_path / "fma_small"
+    meta.mkdir()
+    (audio / "000").mkdir(parents=True)
+    # two tracks with audio on disk, one without; one with key GT
+    for tid in (2, 5):
+        (audio / "000" / f"{tid:06d}.mp3").write_bytes(b"x")
+    (meta / "tracks.csv").write_text(
+        "cat,a\nname,b\ntrack_id,track.genre_top\n2,Rock\n5,Jazz\n9,Pop\n"
+    )
+    (meta / "echonest.csv").write_text(
+        ",echonest,echonest,echonest\n"
+        ",audio_features,audio_features,audio_features\n"
+        ",tempo,key,mode\n"
+        "track_id,,,\n"
+        "2,120.5,0,1\n"
+        "5,98.0,,\n"
+        "9,140.0,9,0\n"
+    )
+    out_csv = tmp_path / "batch.csv"
+    prep_main([str(audio), str(out_csv), "--fma-metadata", str(meta)])
+    import csv as csvmod
+
+    rows = list(csvmod.DictReader(open(out_csv)))
+    by_bpm = {float(r["bpm"]): r for r in rows}
+    assert set(by_bpm) == {120.5, 98.0}  # track 9 has no file on disk
+    assert by_bpm[120.5]["key"] == "C"
+    assert by_bpm[98.0]["key"] == ""
+
+
+def test_prepare_test_batch_fma_subsample(tmp_path):
+    from validation.tools.prepare_test_batch import main as prep_main
+
+    meta = tmp_path / "m"
+    audio = tmp_path / "a"
+    meta.mkdir()
+    (audio / "000").mkdir(parents=True)
+    rows_meta = []
+    for tid in range(1, 11):
+        (audio / "000" / f"{tid:06d}.mp3").write_bytes(b"x")
+        rows_meta.append(f"{tid},{90 + tid},0,1")
+    (meta / "tracks.csv").write_text(
+        "cat\nname\ntrack_id\n" + "\n".join(str(t) for t in range(1, 11)) + "\n"
+    )
+    (meta / "echonest.csv").write_text(
+        ",echonest,echonest,echonest\n,audio_features,audio_features,audio_features\n"
+        ",tempo,key,mode\ntrack_id,,,\n" + "\n".join(rows_meta) + "\n"
+    )
+    out_csv = tmp_path / "b.csv"
+    prep_main([str(audio), str(out_csv), "--fma-metadata", str(meta),
+               "--num-tracks", "4", "--seed", "3"])
+    import csv as csvmod
+
+    rows = list(csvmod.DictReader(open(out_csv)))
+    assert len(rows) == 4
+    # deterministic under the seed
+    prep_main([str(audio), str(out_csv), "--fma-metadata", str(meta),
+               "--num-tracks", "4", "--seed", "3"])
+    rows2 = list(csvmod.DictReader(open(out_csv)))
+    assert rows == rows2
