@@ -80,12 +80,17 @@ def main() -> int:
     trace_dir = os.environ.get("BENCH_TRACE", "")
     tracer = jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
 
-    t0 = time.time()
+    rep_times = []
     with tracer:
         for s_r in inputs:
+            t0 = time.time()
             out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
             jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+            rep_times.append(time.time() - t0)
+    # the tunnel intermittently dedups repeated results server-side (sub-ms
+    # "pipelines"); exclude implausibly fast reps
+    clean = [x for x in rep_times if x > 0.05 * max(rep_times)]
+    dt = float(np.median(clean))
 
     n_dev = jax.device_count()
     tracks_per_sec = batch / dt

@@ -73,7 +73,11 @@ def main() -> int:
         jax.block_until_ready(out)
         times.append(time.time() - t0)
 
-    dt = float(np.median(times))
+    # The tunnel intermittently dedups identical-program results server-side
+    # (observed: 0.4 ms "pipelines"); treat reps <5% of the slowest rep as
+    # cache artifacts and exclude them.
+    clean = [x for x in times if x > 0.05 * max(times)]
+    dt = float(np.median(clean))
     got = np.asarray(out["bpm"])
     err = np.abs(got - bpms)
     fam = np.minimum.reduce([err, np.abs(got - 2 * bpms), np.abs(got - 0.5 * bpms)])
@@ -84,6 +88,7 @@ def main() -> int:
         "tracks_per_sec": round(b / dt, 2),
         "compile_s": round(compile_s, 1),
         "times": [round(x, 4) for x in times],
+        "cache_suspect_reps": len(times) - len(clean),
         "bpm_family_accuracy": float(np.mean(fam < 2.0)),
         "mr_used_frac": float(np.mean(np.asarray(out["multi_res_used"]))),
     }))

@@ -164,6 +164,12 @@ class AnalysisConfig:
     key_mode_flip_min_score_ratio: float = 0.60
     enable_key_hpcp: bool = True
     key_hpcp_peaks_per_frame: int = 24
+    # TPU-only knob (no reference analogue): select the top-K spectral peaks
+    # with the hardware-accelerated approximate top-k (O(n), recall ~0.95+)
+    # instead of an exact sort (O(n log^2 n) bitonic — the hottest op of the
+    # key path). Harmonic summation is order-independent, so only rare
+    # borderline-peak set differences can change the HPCP. False = exact.
+    key_hpcp_approx_peaks: bool = True
     key_hpcp_num_harmonics: int = 4
     key_hpcp_harmonic_decay: float = 0.60
     key_hpcp_mag_power: float = 0.50

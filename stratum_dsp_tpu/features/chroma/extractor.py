@@ -164,10 +164,14 @@ def frames_to_hpcp(
     whitening_smooth_bins: int = 31,
     fmin_hz: float = CHROMA_FMIN_HZ,
     fmax_hz: float = CHROMA_FMAX_HZ,
+    approx_peaks: bool = True,
 ) -> jax.Array:
     """HPCP [..., 12] from magnitudes [..., K] (frame_to_hpcp_tuned_band,
     extractor.rs:528-680). ``tuning_offset`` may be a traced scalar (it only
-    shifts semitone positions)."""
+    shifts semitone positions). ``approx_peaks`` selects the top-K peak SET
+    with the TPU's hardware approximate top-k instead of an exact sort —
+    harmonic summation is order-independent, so only the membership of
+    borderline peaks can differ (recall >= ~0.95 per k)."""
     n_bins = spec.shape[-1]
     freqs_full = bin_freqs(sample_rate, fft_size, n_bins)
     fmin = max(fmin_hz, 20.0)
@@ -217,13 +221,23 @@ def frames_to_hpcp(
     raw2 = jnp.where(take_odd, raw_b[..., 1::2], raw_b[..., 0::2])
     id2 = jnp.where(take_odd, bin_ids[..., 1::2], bin_ids[..., 0::2])
 
-    if k_top <= half_w:
-        s_neg, s_raw, s_idx = jax.lax.sort(
-            (-pv2, raw2, id2), dimension=-1, num_keys=1, is_stable=True
+    if approx_peaks and k_top <= half_w:
+        # O(n) hardware partial-reduce; selection set only (order is
+        # irrelevant to the harmonic summation below)
+        top_vals, sel = jax.lax.approx_max_k(pv2, k_top, recall_target=0.98)
+        raw_at_peak = jnp.take_along_axis(raw2, sel, axis=-1)
+        top_idx = jnp.take_along_axis(id2, sel, axis=-1)
+    elif k_top <= half_w:
+        # exact: 2-operand sort (value key + packed bin id), raw gathered
+        # after — sorting the third operand alongside measured slower
+        s_neg, s_idx = jax.lax.sort(
+            (-pv2, id2), dimension=-1, num_keys=1, is_stable=True
         )
         top_vals = -s_neg[..., :k_top]
-        raw_at_peak = s_raw[..., :k_top]
         top_idx = s_idx[..., :k_top]
+        # id2 indexes the PRE-halved axis; raw2 is indexed by halved position,
+        # so recover raw from the full-width padded raw_b instead
+        raw_at_peak = jnp.take_along_axis(raw_b, top_idx, axis=-1)
     else:  # degenerate tiny-band case: keep the straightforward path
         top_vals, top_idx = jax.lax.top_k(peak_vals[..., :hi_bin], k_top)
         raw_at_peak = jnp.take_along_axis(raw_b, top_idx, axis=-1)

@@ -280,6 +280,7 @@ def extract_key_features(
                     cfg.key_hpcp_peaks_per_frame, cfg.key_hpcp_num_harmonics,
                     cfg.key_hpcp_harmonic_decay, cfg.key_hpcp_mag_power,
                     cfg.enable_key_hpcp_whitening, cfg.key_hpcp_whitening_smooth_bins,
+                    approx_peaks=cfg.key_hpcp_approx_peaks,
                 )
                 bass = chx.frames_to_hpcp(
                     central, sample_rate, frame_size, cfg.soft_mapping_sigma, tuning_offset,
@@ -288,6 +289,7 @@ def extract_key_features(
                     cfg.key_hpcp_mag_power, cfg.enable_key_hpcp_whitening,
                     cfg.key_hpcp_whitening_smooth_bins,
                     fmin_hz=cfg.key_hpcp_bass_fmin_hz, fmax_hz=cfg.key_hpcp_bass_fmax_hz,
+                    approx_peaks=cfg.key_hpcp_approx_peaks,
                 )
                 w = float(np.clip(cfg.key_hpcp_bass_weight, 0.0, 1.0))
                 from ..chroma.postprocess import l2_normalize_zero
@@ -299,6 +301,7 @@ def extract_key_features(
                     cfg.key_hpcp_peaks_per_frame, cfg.key_hpcp_num_harmonics,
                     cfg.key_hpcp_harmonic_decay, cfg.key_hpcp_mag_power,
                     cfg.enable_key_hpcp_whitening, cfg.key_hpcp_whitening_smooth_bins,
+                    approx_peaks=cfg.key_hpcp_approx_peaks,
                 )
             energy = jnp.sum(central * central, axis=-1)
         else:
