@@ -16,8 +16,10 @@ import argparse
 import json
 import logging
 import sys
+import threading
 import time
 from pathlib import Path
+from queue import Queue
 
 import numpy as np
 
@@ -71,34 +73,53 @@ def main(argv=None) -> int:
     out_fh = sys.stdout if args.output == "-" else open(args.output, "w")
     t_start = time.time()
 
-    decoded = decode_batch(args.paths, target_sr=sr, n_threads=args.decode_threads)
+    # decode/analyze overlap: a host thread decodes chunk k+1 while the
+    # device analyzes chunk k (the reference's rayon pool analogue with the
+    # device as the consumer)
+    chunks = [
+        list(range(i, min(i + args.batch_size, len(args.paths))))
+        for i in range(0, len(args.paths), args.batch_size)
+    ]
+    decode_q: Queue = Queue(maxsize=2)
 
-    # group decodable tracks by padded bucket length
-    groups: dict[int, list[int]] = {}
-    for i, (samples, _sr, err) in enumerate(decoded):
-        if err is not None or samples is None or samples.size == 0:
-            rec = {"file": args.paths[i], "error": err or "empty audio"}
-            out_fh.write(json.dumps(rec) + "\n")
-            continue
-        groups.setdefault(bucket_for(len(samples), sr), []).append(i)
+    def decoder():
+        for chunk in chunks:
+            paths = [args.paths[i] for i in chunk]
+            decode_q.put(
+                (chunk, decode_batch(paths, target_sr=sr, n_threads=args.decode_threads))
+            )
+        decode_q.put(None)
+
+    threading.Thread(target=decoder, daemon=True).start()
+
+    from ..analysis.timing import analyze_batch_timed
 
     n_ok = 0
-    for bucket_len, idxs in sorted(groups.items()):
-        for chunk_start in range(0, len(idxs), args.batch_size):
-            chunk = idxs[chunk_start : chunk_start + args.batch_size]
-            b = len(chunk)
+    while True:
+        item = decode_q.get()
+        if item is None:
+            break
+        chunk, decoded = item
+        # split by padded bucket length so jit shapes stay bounded
+        sub: dict[int, list[int]] = {}
+        for j, (samples, _sr, err) in enumerate(decoded):
+            if err is not None or samples is None or samples.size == 0:
+                rec = {"file": args.paths[chunk[j]], "error": err or "empty audio"}
+                out_fh.write(json.dumps(rec) + "\n")
+                continue
+            sub.setdefault(bucket_for(len(samples), sr), []).append(j)
+        for bucket_len, js in sorted(sub.items()):
+            b = len(js)
             batch = np.zeros((b, bucket_len), np.float32)
             lengths = np.zeros((b,), np.int32)
-            for j, i in enumerate(chunk):
-                s = decoded[i][0][:bucket_len]
-                batch[j, : len(s)] = s
-                lengths[j] = len(s)
-            from ..analysis.timing import analyze_batch_timed
-
+            for k, j in enumerate(js):
+                s = decoded[j][0][:bucket_len]
+                batch[k, : len(s)] = s
+                lengths[k] = len(s)
             out = analyze_batch_timed(batch, lengths, cfg, sr, caps)
             results = decode_results(out, sr)
-            for j, i in enumerate(chunk):
-                rec = {"file": args.paths[i], **results[j].to_dict()}
+            for k, j in enumerate(js):
+                rec = {"file": args.paths[chunk[j]], **results[k].to_dict()}
                 out_fh.write(json.dumps(rec) + "\n")
                 n_ok += 1
 
