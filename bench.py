@@ -62,13 +62,11 @@ def main() -> int:
     # 1.2e-7) or the buffer fingerprint can collide with a previous run's —
     # a sub-ulp offset produced 0.7 ms "pipeline" timings. 2e-6..2e-3 DC is
     # inaudible and BPM/key invariant (flux/chroma are difference/band ops).
-    import random
-
-    base = random.SystemRandom().randint(1, 1_000_000)
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     perturb = jax.jit(lambda x, eps: x + eps)
     inputs = []
     for r in range(reps):
-        s_r = perturb(sj, np.float32(2e-6 * (1 + (base + r) % 997)))
+        s_r = perturb(sj, np.float32(rng.uniform(1e-5, 1e-3)))
         jax.block_until_ready(s_r)
         inputs.append(s_r)
 
@@ -85,7 +83,7 @@ def main() -> int:
         for s_r in inputs:
             t0 = time.time()
             out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
-            jax.block_until_ready(out)
+            np.asarray(out["bpm"])  # host readback forces true completion
             rep_times.append(time.time() - t0)
     # the tunnel intermittently dedups repeated results server-side (sub-ms
     # "pipelines"); exclude implausibly fast reps

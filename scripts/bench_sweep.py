@@ -60,23 +60,26 @@ def main() -> int:
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    base = int.from_bytes(os.urandom(4), "little") % 1_000_000
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     times = []
     for r in range(reps):
-        # fresh input value per rep (tunnel content-caches results); the DC
-        # offset must exceed every sample's f32 ulp or the fingerprint can
-        # collide (sub-ulp offsets yielded 0.7 ms "pipelines"); the perturb
-        # add is timed too but is ~ms against a ~300 ms pipeline
+        # fresh input value per rep: CONTINUOUS random supra-ulp DC offset
+        # (discrete offset grids collided with earlier runs in the tunnel's
+        # cross-process result cache). Timing runs until a host readback of
+        # the bpm array completes — device->host transfer cannot finish
+        # before the compute, whatever block_until_ready means remotely.
         t0 = time.time()
-        s_r = perturb(sj, np.float32(2e-6 * (1 + (base + r) % 997)))
+        s_r = perturb(sj, np.float32(rng.uniform(1e-5, 1e-3)))
         out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
-        jax.block_until_ready(out)
+        np.asarray(out["bpm"])
         times.append(time.time() - t0)
 
     # The tunnel intermittently dedups identical-program results server-side
     # (observed: 0.4 ms "pipelines"); treat reps <5% of the slowest rep as
     # cache artifacts and exclude them.
     clean = [x for x in times if x > 0.05 * max(times)]
+    if len(clean) >= 3:
+        clean = clean[1:]  # first post-compile rep carries one-time overheads
     dt = float(np.median(clean))
     got = np.asarray(out["bpm"])
     err = np.abs(got - bpms)

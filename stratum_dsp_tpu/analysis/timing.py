@@ -112,13 +112,13 @@ def stage_timings(
         for i in range(reps):
             s_i = samples
             if perturb:
-                eps += 1
-                s_i = pert(samples, np.float32(2e-6 * (1 + eps % 997)))
+                eps = np.random.default_rng(eps).integers(1, 1 << 30)
+                s_i = pert(samples, np.float32(1e-5 + (eps % 100000) * 1e-8))
                 jax.block_until_ready(s_i)
             t0 = time.time()
             r = fn(s_i, lengths, cfg=cfg, sample_rate=sample_rate, caps=caps,
                    debug_stop_after=stage)
-            jax.block_until_ready(r)
+            np.asarray(jax.tree_util.tree_leaves(r)[0])  # host readback
             times.append(time.time() - t0)
         cum = float(np.median(times))
         name = stage or "full"

@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-beats", type=int, default=1024)
     p.add_argument("-v", "--verbose", action="count", default=0,
                    help="-v: stage INFO logs, -vv: DEBUG batch summaries")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="dev mode: raise on any NaN produced under jit "
+                        "(jax_debug_nans; SURVEY §5 jit-purity checks)")
     add_config_flags(p)
     return p
 
@@ -66,6 +69,10 @@ def main(argv=None) -> int:
         logging.getLogger("stratum_dsp_tpu").setLevel(
             logging.DEBUG if args.verbose > 1 else logging.INFO
         )
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = config_from_args(args)
     caps = PipelineCaps(max_onsets=args.max_onsets, max_beats=args.max_beats)
     sr = args.target_sample_rate
