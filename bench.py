@@ -34,7 +34,7 @@ def main() -> int:
     from stratum_dsp_tpu.testing import kick_pattern_device
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "4"))
 
     cfg = AnalysisConfig()
     caps = PipelineCaps()
@@ -85,9 +85,11 @@ def main() -> int:
             out = fn(s_r, lj, cfg=cfg, sample_rate=SR, caps=caps)
             np.asarray(out["bpm"])  # host readback forces true completion
             rep_times.append(time.time() - t0)
-    # the tunnel intermittently dedups repeated results server-side (sub-ms
-    # "pipelines"); exclude implausibly fast reps
-    clean = [x for x in rep_times if x > 0.05 * max(rep_times)]
+    # rep 1 absorbs one-time tunnel costs (first readback observed at 100+ s);
+    # among the rest, server-side result dedup can still produce sub-ms
+    # artifacts — keep reps within 2x of the slowest post-warmup rep
+    rest = rep_times[1:] if len(rep_times) > 1 else rep_times
+    clean = [x for x in rest if x > 0.5 * max(rest)]
     dt = float(np.median(clean))
 
     n_dev = jax.device_count()

@@ -74,12 +74,12 @@ def main() -> int:
         np.asarray(out["bpm"])
         times.append(time.time() - t0)
 
-    # The tunnel intermittently dedups identical-program results server-side
-    # (observed: 0.4 ms "pipelines"); treat reps <5% of the slowest rep as
-    # cache artifacts and exclude them.
-    clean = [x for x in times if x > 0.05 * max(times)]
-    if len(clean) >= 3:
-        clean = clean[1:]  # first post-compile rep carries one-time overheads
+    # Rep 1 absorbs one-time costs (first readback through the tunnel has
+    # been observed at 100+ s); among the rest, server-side result dedup can
+    # still produce sub-ms artifacts, so keep reps within 2x of the slowest
+    # post-warmup rep and take their median.
+    rest = times[1:] if len(times) > 1 else times
+    clean = [x for x in rest if x > 0.5 * max(rest)]
     dt = float(np.median(clean))
     got = np.asarray(out["bpm"])
     err = np.abs(got - bpms)
