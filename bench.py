@@ -27,6 +27,9 @@ SR = 44100
 
 
 def main() -> int:
+    from stratum_dsp_tpu import compile_cache
+
+    compile_cache.enable()
     import jax
 
     from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays

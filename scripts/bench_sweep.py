@@ -27,6 +27,9 @@ def main() -> int:
     reps = int(os.environ.get("REPS", "3"))
     ambig = float(os.environ.get("AMBIG", "-1"))  # -1: default 80..175 ramp
 
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
 
     from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays

@@ -17,6 +17,9 @@ SR = 44100
 
 
 def timeit(fn, *args, reps=5, label=""):
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
 
     out = fn(*args)

@@ -22,6 +22,9 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
 
     from _axon_bench import Bench

@@ -40,6 +40,9 @@ def main() -> int:
                     help="fraction of tracks with BPM in the 55-80 trap zone")
     args = ap.parse_args()
 
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
 
     from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays

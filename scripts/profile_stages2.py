@@ -24,6 +24,9 @@ def main() -> int:
     b = int(os.environ.get("B", "8"))
     secs = float(os.environ.get("SECS", "180"))
 
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
 
     from stratum_dsp_tpu.analysis.timing import stage_timings

@@ -21,6 +21,9 @@ def main() -> int:
     b = int(os.environ.get("B", "8"))
     secs = float(os.environ.get("SECS", "180"))
 
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
 
     from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays

@@ -19,6 +19,9 @@ SR = 44100
 
 
 def main():
+    from stratum_dsp_tpu import compile_cache
+    compile_cache.enable()
+
     import jax
     import jax.numpy as jnp
 
