@@ -69,7 +69,7 @@ def _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, top_n):
     return tg.estimate_bpm_tempogram(variants, cfg, frame_rate, fft_size, top_n)
 
 
-def _collect_spec(samples, lengths, frame_size, hop, chunk_frames):
+def _collect_spec(samples, lengths, frame_size, hop, chunk_frames, bf16=False):
     """Materialize the full magnitude spectrogram (only for the HPSS paths)."""
 
     def reducer(spec, fidx, fvalid, carry):
@@ -77,7 +77,7 @@ def _collect_spec(samples, lengths, frame_size, hop, chunk_frames):
 
     outs, _, frame_counts = stft_reduce(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
-        chunk_frames=chunk_frames,
+        chunk_frames=chunk_frames, bf16=bf16,
     )
     return outs["spec"], frame_counts
 
@@ -148,7 +148,8 @@ def analyze_batch_arrays(
     need_spec = cfg.enable_hpss_onsets or cfg.enable_tempogram_percussive_fallback
     if need_spec:
         full_spec, _ = _collect_spec(
-            samples, lengths, cfg.frame_size, cfg.hop_size, caps.chunk_frames
+            samples, lengths, cfg.frame_size, cfg.hop_size, caps.chunk_frames,
+            bf16=cfg.stft_bf16,
         )
         _h, perc_spec = hpss_decompose(full_spec, frame_counts, cfg.hpss_margin)
 

@@ -112,6 +112,12 @@ class AnalysisConfig:
     # --- STFT (config.rs:231-236) ---
     frame_size: int = 2048
     hop_size: int = 512
+    # TPU-only extension (no reference counterpart): run the MXU DFT matmuls
+    # with bf16 inputs + f32 accumulation. ~4x the f32 MXU rate on v5e; the
+    # ~2^-9 relative input rounding is far below the decision margins of
+    # every downstream discrete estimate (BPM family, key, beat phase) —
+    # asserted end-to-end by tests/test_stft.py::test_bf16_pipeline_parity.
+    stft_bf16: bool = True
 
     # --- Key detection (config.rs:238-587) ---
     center_frequency: float = 440.0

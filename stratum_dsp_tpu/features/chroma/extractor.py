@@ -150,6 +150,87 @@ def spectral_whiten(spec: jax.Array, smooth_bins: int) -> jax.Array:
     return jnp.minimum(x / (mean + 1e-12), 20.0)
 
 
+@functools.lru_cache(maxsize=32)
+def hpcp_harmonic_matrix(
+    sample_rate: int,
+    fft_size: int,
+    hi_bin: int,
+    sigma: float,
+    tuning_offset: float,
+    num_harmonics: int,
+    harmonic_decay: float,
+    fmin: float,
+    fmax: float,
+) -> np.ndarray:
+    """Static ``[hi_bin, 12]`` harmonic-summation projection: column c of row
+    k is the total weight a *selected peak at bin k* contributes to pitch
+    class c across all harmonics and the 3 circular-Gaussian neighbors
+    (extractor.rs:582-680). Because the fan-out depends only on the bin
+    index (f0 = k * fres), the whole per-peak harmonic algebra collapses to
+    ``masked_peak_weights @ M`` — one MXU matmul instead of per-frame
+    gathers + transcendentals + one-hot scatters."""
+    fres = sample_rate / fft_size
+    m = np.zeros((hi_bin, 12), dtype=np.float32)
+    sig = max(sigma, 1e-6)
+    decay = float(np.clip(harmonic_decay, 0.0, 1.0))
+    f0 = np.arange(hi_bin) * fres  # [K]
+    h = np.arange(1, max(num_harmonics, 1) + 1, dtype=np.float64)  # [H]
+    fh = f0[:, None] * h  # [K, H]
+    h_ok = (fh >= fmin) & (fh <= fmax) & (f0[:, None] > 0.0)
+    hw = (decay ** (h - 1.0)) / h
+    semis = 12.0 * np.log2(np.maximum(fh, 1e-6) / A4_FREQ) + SEMITONE_OFFSET
+    semis = semis - tuning_offset
+    pc = np.mod(semis, 12.0)
+    primary = np.mod(np.round(pc), 12.0)
+    for off in (-1.0, 0.0, 1.0):
+        cls = np.mod(primary + off, 12.0)
+        dist = np.abs(pc - cls)
+        dist = np.minimum(dist, 12.0 - dist)
+        wt = np.exp(-dist * dist / (2.0 * sig * sig)) * hw * h_ok
+        ci = cls.astype(np.int64)
+        np.add.at(m, (np.repeat(np.arange(hi_bin), h.shape[0]), ci.ravel()), wt.ravel())
+    return m
+
+
+def hpcp_harmonic_matrix_dynamic(
+    sample_rate: int,
+    fft_size: int,
+    hi_bin: int,
+    sigma: float,
+    tuning_offset: jax.Array,
+    num_harmonics: int,
+    harmonic_decay: float,
+    fmin: float,
+    fmax: float,
+) -> jax.Array:
+    """Traced-tuning variant of :func:`hpcp_harmonic_matrix`: returns
+    ``[..., hi_bin, 12]`` with leading dims broadcast from ``tuning_offset``
+    (per-track offsets give ``[B, hi_bin, 12]``). Cost is O(B*K*H) once per
+    call — negligible next to the per-frame work it replaces."""
+    fres = sample_rate / fft_size
+    sig = max(sigma, 1e-6)
+    decay = float(np.clip(harmonic_decay, 0.0, 1.0))
+    f0 = np.arange(hi_bin) * fres
+    h = np.arange(1, max(num_harmonics, 1) + 1, dtype=np.float64)
+    fh = f0[:, None] * h  # [K, H]
+    h_ok = jnp.asarray((fh >= fmin) & (fh <= fmax) & (f0[:, None] > 0.0), jnp.float32)
+    hw = jnp.asarray((decay ** (h - 1.0)) / h, jnp.float32)
+    semis_np = 12.0 * np.log2(np.maximum(fh, 1e-6) / A4_FREQ) + SEMITONE_OFFSET
+    t = jnp.asarray(tuning_offset, jnp.float32)
+    semis = jnp.asarray(semis_np, jnp.float32) - t[..., None, None]
+    pc = jnp.mod(semis, 12.0)  # [..., K, H]
+    primary = jnp.mod(jnp.round(pc), 12.0)
+    out = jnp.zeros(pc.shape[:-2] + (hi_bin, 12), jnp.float32)
+    for off in (-1.0, 0.0, 1.0):
+        cls = jnp.mod(primary + off, 12.0)
+        dist = jnp.abs(pc - cls)
+        dist = jnp.minimum(dist, 12.0 - dist)
+        wt = jnp.exp(-dist * dist / (2.0 * sig * sig)) * hw * h_ok  # [..., K, H]
+        onehot = jax.nn.one_hot(cls.astype(jnp.int32), 12, dtype=jnp.float32)
+        out = out + jnp.sum(wt[..., None] * onehot, axis=-2)
+    return out
+
+
 def frames_to_hpcp(
     spec: jax.Array,
     sample_rate: int,
@@ -201,13 +282,54 @@ def frames_to_hpcp(
     k_top = max(min(peaks_per_frame, hi_bin), 1)
     peak_vals = jnp.where(peak_ok, sel, -jnp.inf)
     raw_b = jnp.maximum(spec_b, 0.0)  # top_idx < hi_bin, so spec_b == spec here
-
-    # Adjacent bins can never both be peaks (peak needs sel>prev on the left
-    # and sel>=nxt on the right, which is contradictory for a neighbor pair),
-    # so a pairwise max halves the sort width exactly. Sorting (vals, raw,
-    # bin) jointly then replaces top_k + a take_along_axis gather — the
-    # combination was the single hottest op pair of the key path on TPU.
+    p = float(np.clip(mag_power, 0.05, 1.0))
     half_w = (hi_bin + 1) // 2
+
+    if approx_peaks and k_top <= half_w:
+        # Threshold formulation: bisect for tau ~= the k-th largest peak
+        # value (12 fused count-compare passes, measured ~free inside the
+        # streamed reducer vs +60 ms/batch for approx_max_k and +25 ms for
+        # a full sort), select every peak >= tau by MASK, and collapse the
+        # whole per-peak harmonic fan-out (gathers + per-frame log2/mod/exp
+        # + one-hot scatters) into ONE [.., hi_bin] @ [hi_bin, 12] MXU
+        # matmul against the precomputed harmonic projection. tau converges
+        # to within vmax/2^20 below the true k-th value, so the selected
+        # set is the exact top-k plus any peaks tied within that sliver
+        # (harmless: harmonic summation is monotone in peak count).
+        vmax = jnp.max(jnp.where(peak_ok, sel, 0.0), axis=-1, keepdims=True)
+        lo = jnp.zeros_like(vmax)
+        hi = vmax
+        for _ in range(20):
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((peak_vals >= mid) & peak_ok, axis=-1, keepdims=True)
+            take_lower = cnt < k_top
+            hi = jnp.where(take_lower, mid, hi)
+            lo = jnp.where(take_lower, lo, mid)
+        # count(>= lo) >= k_top >= count(>= hi): lo never drops a true
+        # top-k peak; when fewer than k_top peaks exist lo stays 0 and
+        # every peak is kept (matching top_k over all finite entries)
+        mask = peak_ok & (peak_vals >= lo)
+        w_bins = jnp.where(
+            mask, jnp.sqrt(raw_b) if p == 0.5 else jnp.power(raw_b, p), 0.0
+        )
+        if isinstance(tuning_offset, (int, float)):
+            m = jnp.asarray(hpcp_harmonic_matrix(
+                sample_rate, fft_size, hi_bin, sigma, float(tuning_offset),
+                num_harmonics, harmonic_decay, fmin, fmax,
+            ))
+        else:
+            m = hpcp_harmonic_matrix_dynamic(
+                sample_rate, fft_size, hi_bin, sigma, tuning_offset,
+                num_harmonics, harmonic_decay, fmin, fmax,
+            )
+        out = jnp.matmul(w_bins, m, preferred_element_type=jnp.float32)
+        return l2_normalize_zero(out)
+
+    # Exact path (approx_peaks=False): reference-faithful top-k selection.
+    # Sorting (vals, raw, bin) jointly replaces top_k + a take_along_axis
+    # gather — the combination was the single hottest op pair of the key
+    # path on TPU before the threshold/matmul path above superseded it as
+    # the production default.
     if hi_bin % 2:
         peak_vals = jnp.pad(peak_vals, [(0, 0)] * (peak_vals.ndim - 1) + [(0, 1)],
                             constant_values=-jnp.inf)
@@ -218,16 +340,9 @@ def frames_to_hpcp(
     ev, od = peak_vals[..., 0::2], peak_vals[..., 1::2]
     take_odd = od > ev  # tie -> even (lower bin), matching stable top_k
     pv2 = jnp.where(take_odd, od, ev)
-    raw2 = jnp.where(take_odd, raw_b[..., 1::2], raw_b[..., 0::2])
     id2 = jnp.where(take_odd, bin_ids[..., 1::2], bin_ids[..., 0::2])
 
-    if approx_peaks and k_top <= half_w:
-        # O(n) hardware partial-reduce; selection set only (order is
-        # irrelevant to the harmonic summation below)
-        top_vals, sel = jax.lax.approx_max_k(pv2, k_top, recall_target=0.98)
-        raw_at_peak = jnp.take_along_axis(raw2, sel, axis=-1)
-        top_idx = jnp.take_along_axis(id2, sel, axis=-1)
-    elif k_top <= half_w:
+    if k_top <= half_w:
         # exact: 2-operand sort (value key + packed bin id), raw gathered
         # after — sorting the third operand alongside measured slower
         s_neg, s_idx = jax.lax.sort(
@@ -242,8 +357,6 @@ def frames_to_hpcp(
         top_vals, top_idx = jax.lax.top_k(peak_vals[..., :hi_bin], k_top)
         raw_at_peak = jnp.take_along_axis(raw_b, top_idx, axis=-1)
     valid = jnp.isfinite(top_vals)
-
-    p = float(np.clip(mag_power, 0.05, 1.0))
     w0 = jnp.where(valid, jnp.power(raw_at_peak, p), 0.0)
 
     fres = sample_rate / fft_size
@@ -257,6 +370,11 @@ def frames_to_hpcp(
     contrib = w0[..., None] * hw * h_ok  # [..., k_top, H]
 
     semis = 12.0 * jnp.log2(jnp.maximum(fh, 1e-6) / A4_FREQ) + SEMITONE_OFFSET
+    if not isinstance(tuning_offset, (int, float)):
+        # per-track offsets broadcast from the LEFT (batch-leading), never
+        # against the trailing [k_top, H] axes
+        t = jnp.asarray(tuning_offset, jnp.float32)
+        tuning_offset = t.reshape(t.shape + (1,) * (semis.ndim - t.ndim))
     semis = semis - tuning_offset
     pc = jnp.mod(semis, 12.0)
     primary = jnp.mod(jnp.round(pc), 12.0)
@@ -306,8 +424,10 @@ def harmonic_time_mask(
     h = jnp.maximum(windowed_time_mean(x, fvalid, margin), 0.0)
     r = jnp.maximum(x - h, 0.0)
     p = max(mask_power, 1.0)
-    hp = jnp.power(h, p)
-    rp = jnp.power(r, p)
+    if p == 2.0:  # default: keep it on the VPU's mul path, not pow
+        hp, rp = h * h, r * r
+    else:
+        hp, rp = jnp.power(h, p), jnp.power(r, p)
     return x * (hp / (hp + rp + 1e-12))
 
 

@@ -76,7 +76,7 @@ def _key_stft_params(cfg: AnalysisConfig):
 
 def _stft_reduce_any(
     samples, lengths, frame_size, hop, reducer, carry_init, chunk_frames,
-    halo, keep_bins, mesh,
+    halo, keep_bins, mesh, bf16=False,
 ):
     """Plain or time-sharded streamed STFT reduce (same contract/returns)."""
     if mesh is not None and "time" in mesh.shape:
@@ -85,11 +85,11 @@ def _stft_reduce_any(
         return stft_reduce_sharded(
             samples, lengths, frame_size, hop, reducer, carry_init, mesh,
             prev_frames=0, halo_frames=halo, keep_bins=keep_bins,
-            chunk_frames=chunk_frames,
+            chunk_frames=chunk_frames, bf16=bf16,
         )
     return stft_reduce(
         samples, lengths, frame_size, hop, reducer, carry_init,
-        chunk_frames=chunk_frames, halo=halo, keep_bins=keep_bins,
+        chunk_frames=chunk_frames, halo=halo, keep_bins=keep_bins, bf16=bf16,
     )
 
 def estimate_tuning_streamed(
@@ -144,7 +144,7 @@ def estimate_tuning_streamed(
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, _, _ = _stft_reduce_any(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
-        chunk_frames, halo, keep_bins, mesh,
+        chunk_frames, halo, keep_bins, mesh, bf16=cfg.stft_bf16,
     )
     s_sin = jnp.sum(outs["sin"], axis=-1)
     s_cos = jnp.sum(outs["cos"], axis=-1)
@@ -186,6 +186,7 @@ def collect_hpss_mask(
     outs, _, frame_counts = _stft_reduce_any(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
         chunk_frames, 0, _key_keep_bins(cfg, sample_rate, frame_size), mesh,
+        bf16=cfg.stft_bf16,
     )
     band_ds = outs["band"][:, ::step]
     ds_counts = -(-frame_counts // step)  # ceil: frames 0, step, 2*step, ...
@@ -315,7 +316,7 @@ def extract_key_features(
     chunk_frames = _auto_chunk(samples.shape[0], frame_size, chunk_frames)
     outs, nf_padded, frame_counts = _stft_reduce_any(
         samples, lengths, frame_size, hop, reducer, lambda b: jnp.zeros((b,)),
-        chunk_frames, halo, keep_bins, mesh,
+        chunk_frames, halo, keep_bins, mesh, bf16=cfg.stft_bf16,
     )
     return outs["chroma"], outs["energy"], frame_counts
 

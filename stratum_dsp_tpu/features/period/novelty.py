@@ -170,7 +170,8 @@ def compute_bpm_spectral_features(
     chunk_frames = int(min(chunk_frames, max(60_000_000 // max(samples.shape[0] * frame_size, 1), 128)))
     reducer, carry_init, band_names = make_bpm_reducer(cfg, sample_rate, frame_size)
     outs, nf_padded, frame_counts = stft_reduce(
-        samples, lengths, frame_size, hop, reducer, carry_init, chunk_frames=chunk_frames
+        samples, lengths, frame_size, hop, reducer, carry_init,
+        chunk_frames=chunk_frames, bf16=cfg.stft_bf16,
     )
     outs["band_names"] = band_names
     return outs, frame_counts, nf_padded

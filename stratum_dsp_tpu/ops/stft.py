@@ -79,6 +79,23 @@ def dft_basis(n: int):
     return jnp.cos(phase), jnp.sin(phase)
 
 
+def fused_windowed_basis(n: int, window: jax.Array, keep_bins=None, bf16=False) -> jax.Array:
+    """Single ``[n, 2*K]`` DFT projection with the analysis window folded in:
+    ``frames @ fused`` yields ``[re | im]`` in one MXU matmul. Folding the
+    window into the basis removes the per-chunk elementwise windowing pass
+    over the ``[B, C, n]`` frames buffer, and fusing cos|sin halves the
+    number of frame reads vs two separate matmuls.
+
+    With ``bf16`` the basis is stored bf16; ``stft_magnitude_chunk`` then
+    feeds the MXU bf16 inputs with f32 accumulation (~4x the f32 rate on
+    v5e). The basis dtype is the single switch downstream keys off."""
+    cb, sb = dft_basis(n)
+    if keep_bins is not None:
+        cb, sb = cb[:, :keep_bins], sb[:, :keep_bins]
+    fused = jnp.concatenate([cb, sb], axis=1) * window[:, None]
+    return fused.astype(jnp.bfloat16) if bf16 else fused
+
+
 _CT_INNER = 128  # inner radix of the factored DFT (one MXU tile)
 
 
@@ -147,20 +164,31 @@ def stft_magnitude_chunk(
     ~0.4% of peak at N=8192; the dense DFT matmul wins by a wide margin).
     """
     n = frames.shape[-1]
-    x = frames * window
     # NOTE: the factored form measured SLOWER end-to-end than the one-stage
     # DFT despite ~15x fewer FLOPs — its six small einsums force layout
     # transposes of the [B, C, 128, N/128] intermediates, while the single
     # [*, N] @ [N, N/2+1] matmul runs near MXU peak. Kept for reference and
     # possible Pallas fusion; not on the default path.
     if n <= DFT_MATMUL_MAX:
+        if basis is not None and not isinstance(basis, tuple):
+            # fused [n, 2K] windowed basis (see fused_windowed_basis):
+            # ONE matmul, no separate windowing pass; a bf16 basis selects
+            # the bf16-input / f32-accumulate MXU path
+            ri = jnp.matmul(
+                frames.astype(basis.dtype), basis,
+                preferred_element_type=jnp.float32,
+            )
+            k = basis.shape[-1] // 2
+            re, im = ri[..., :k], ri[..., k:]
+            return jnp.sqrt(re * re + im * im).astype(jnp.float32)
         cb, sb = dft_basis(n) if basis is None else basis
         if keep_bins is not None:
             cb, sb = cb[:, :keep_bins], sb[:, :keep_bins]
+        x = frames * window
         re = jnp.matmul(x, cb, preferred_element_type=jnp.float32)
         im = jnp.matmul(x, sb, preferred_element_type=jnp.float32)
         return jnp.sqrt(re * re + im * im).astype(jnp.float32)
-    spec = jnp.fft.rfft(x, axis=-1)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
     if keep_bins is not None:
         spec = spec[..., :keep_bins]
     return jnp.abs(spec).astype(jnp.float32)
@@ -176,6 +204,7 @@ def stft_reduce(
     chunk_frames: int = 256,
     halo: int = 0,
     keep_bins=None,
+    bf16: bool = False,
 ):
     """Scan the batched STFT in frame chunks and reduce each chunk.
 
@@ -224,7 +253,11 @@ def stft_reduce(
         samples = jnp.pad(samples, ((0, 0), (0, need - t)))
 
     window = hann_window(frame_size, samples.dtype)
-    basis = dft_basis(frame_size) if frame_size <= DFT_MATMUL_MAX else None
+    basis = (
+        fused_windowed_basis(frame_size, window, keep_bins, bf16)
+        if frame_size <= DFT_MATMUL_MAX
+        else None
+    )
     ext = chunk_frames + 2 * halo
 
     def body(carry, chunk_idx):

@@ -31,8 +31,8 @@ from ..features.period import novelty as nov
 from ..ops import masked as masked_ops
 from ..ops.stft import (
     DFT_MATMUL_MAX,
-    dft_basis,
     extract_frames,
+    fused_windowed_basis,
     hann_window,
     stft_magnitude_chunk,
 )
@@ -62,6 +62,7 @@ def stft_reduce_sharded(
     keep_bins: Optional[int] = None,
     chunk_frames: int = 512,
     out_template: Optional[Dict] = None,
+    bf16: bool = False,
 ):
     """Time-sharded equivalent of ``ops.stft.stft_reduce``.
 
@@ -102,7 +103,11 @@ def stft_reduce_sharded(
     ).astype(jnp.int32)
 
     window = hann_window(frame_size)
-    basis = dft_basis(frame_size) if frame_size <= DFT_MATMUL_MAX else None
+    basis = (
+        fused_windowed_basis(frame_size, window, keep_bins, bf16)
+        if frame_size <= DFT_MATMUL_MAX
+        else None
+    )
     chunk = int(min(chunk_frames, fpb))
     n_chunks = -(-fpb // chunk)
 
@@ -278,7 +283,7 @@ def compute_bpm_spectral_features_sharded(
     )
     outs, nf_padded, frame_counts = stft_reduce_sharded(
         samples, lengths, frame_size, hop, reducer, carry_init, mesh,
-        prev_frames=2, chunk_frames=chunk_frames,
+        prev_frames=2, chunk_frames=chunk_frames, bf16=cfg.stft_bf16,
     )
     outs["band_names"] = band_names
     return outs, frame_counts, nf_padded

@@ -94,3 +94,66 @@ def test_short_track_default_key():
     res = detect_key_batch(jnp.asarray(samples), jnp.asarray([1000]), CFG, SAMPLE_RATE)
     assert int(res.key_idx[0]) == 0
     assert float(res.confidence[0]) == 0.0
+
+
+def test_hpcp_approx_matches_exact():
+    # The production HPCP path (approx_peaks=True) replaces exact top-k peak
+    # selection + per-peak harmonic fan-out with a thresholded mask and ONE
+    # matmul against the precomputed harmonic projection
+    # (chroma.extractor.hpcp_harmonic_matrix). It must agree with the
+    # reference-faithful exact path to near-f32 on realistic spectra, for
+    # both static and traced per-track tuning offsets.
+    from stratum_dsp_tpu.features.chroma import extractor as chx
+
+    rng = np.random.default_rng(7)
+    n_bins = 940
+    spec = rng.random((2, 6, n_bins)).astype(np.float32) * 0.01
+    for b in range(2):
+        for t in range(6):
+            for f0 in rng.integers(20, 200, size=5):
+                for h in range(1, 4):
+                    if f0 * h < n_bins:
+                        spec[b, t, f0 * h] += rng.random() * (1.0 / h)
+    spec = jnp.asarray(spec)
+    kwargs = dict(
+        sample_rate=SAMPLE_RATE, fft_size=8192, sigma=0.5,
+        peaks_per_frame=24, num_harmonics=4, harmonic_decay=0.6,
+        mag_power=0.5,
+    )
+    for tuning in (0.0, jnp.asarray([0.12, -0.3], jnp.float32)):
+        exact = np.asarray(
+            chx.frames_to_hpcp(spec, tuning_offset=tuning, approx_peaks=False, **kwargs)
+        )
+        fast = np.asarray(
+            chx.frames_to_hpcp(spec, tuning_offset=tuning, approx_peaks=True, **kwargs)
+        )
+        assert np.abs(exact - fast).max() < 5e-3
+
+
+def test_hpcp_per_track_tuning_is_per_track():
+    # Regression: a [B] tuning vector must shift track b by offset[b] — not
+    # broadcast against the trailing harmonic axis (latent round-1 bug,
+    # masked by B == 1 in every prior test).
+    from stratum_dsp_tpu.features.chroma import extractor as chx
+
+    rng = np.random.default_rng(3)
+    spec_row = rng.random((1, 6, 940)).astype(np.float32)
+    spec = jnp.asarray(np.concatenate([spec_row, spec_row], axis=0))
+    kwargs = dict(
+        sample_rate=SAMPLE_RATE, fft_size=8192, sigma=0.5,
+        peaks_per_frame=24, num_harmonics=4, harmonic_decay=0.6,
+        mag_power=0.5,
+    )
+    for approx in (False, True):
+        both = chx.frames_to_hpcp(
+            spec, tuning_offset=jnp.asarray([0.0, 0.4]), approx_peaks=approx, **kwargs
+        )
+        solo0 = chx.frames_to_hpcp(
+            spec[:1], tuning_offset=jnp.asarray([0.0]), approx_peaks=approx, **kwargs
+        )
+        solo1 = chx.frames_to_hpcp(
+            spec[1:], tuning_offset=jnp.asarray([0.4]), approx_peaks=approx, **kwargs
+        )
+        np.testing.assert_allclose(np.asarray(both[0]), np.asarray(solo0[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo1[0]), atol=1e-5)
+        assert np.abs(np.asarray(both[0]) - np.asarray(both[1])).max() > 1e-3

@@ -70,6 +70,65 @@ def test_extract_frames_matches_gather():
         np.testing.assert_array_equal(fast[:, j], region[:, j * hop : j * hop + frame])
 
 
+def test_bf16_stft_error_bound():
+    # The bf16 fused basis rounds inputs to ~2^-8 relative; assert the
+    # magnitude error stays well under the smallest decision margins the
+    # downstream estimators rely on (band energies, flux thresholds).
+    x = kick_pattern(124.0, 3.0)
+    samples, lengths = pad_batch([x])
+
+    def reducer(spec, fidx, fvalid, carry):
+        return {"spec": spec}, carry
+
+    outs = {}
+    for bf16 in (False, True):
+        o, _, counts = stft_mod.stft_reduce(
+            jnp.asarray(samples), jnp.asarray(lengths), 2048, 512,
+            reducer, lambda b: jnp.zeros((b,)), chunk_frames=64, bf16=bf16,
+        )
+        outs[bf16] = np.asarray(o["spec"])[0, : int(counts[0])]
+    ref, got = outs[False], outs[True]
+    scale = np.abs(ref).max()
+    assert scale > 0
+    # max abs error relative to the spectrogram peak
+    assert np.abs(got - ref).max() / scale < 2e-2
+    # per-frame energy within 1%
+    e_ref = (ref**2).sum(axis=-1)
+    e_got = (got**2).sum(axis=-1)
+    np.testing.assert_allclose(e_got, e_ref, rtol=1e-2)
+
+
+def test_bf16_pipeline_parity():
+    # End-to-end: flipping stft_bf16 must not move any discrete decision
+    # (BPM, key, beat count) and may only perturb continuous outputs at
+    # far-below-tolerance levels. This is the contract config.stft_bf16
+    # promises (see config.py docstring).
+    import dataclasses
+
+    from stratum_dsp_tpu.analysis import PipelineCaps, analyze_batch, decode_results
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.testing import SAMPLE_RATE, c_major_scale
+
+    tracks = [kick_pattern(120.0, 8.0), c_major_scale()]
+    samples, lengths = pad_batch(tracks)
+    caps = PipelineCaps(max_onsets=256, max_beats=256, seg_beat_cap=32, max_segments=12)
+
+    results = {}
+    for bf16 in (False, True):
+        cfg = dataclasses.replace(AnalysisConfig(), stft_bf16=bf16)
+        out = analyze_batch(samples, lengths, cfg, SAMPLE_RATE, caps)
+        results[bf16] = decode_results(out, SAMPLE_RATE)
+
+    for r32, rbf in zip(results[False], results[True]):
+        assert abs(r32.bpm - rbf.bpm) < 0.5, (r32.bpm, rbf.bpm)
+        assert r32.key.name() == rbf.key.name()
+        beats32, beatsbf = r32.beat_grid.beats, rbf.beat_grid.beats
+        assert abs(len(beats32) - len(beatsbf)) <= 1
+        n = min(len(beats32), len(beatsbf))
+        if n:
+            assert np.abs(np.asarray(beats32[:n]) - np.asarray(beatsbf[:n])).max() < 0.05
+
+
 def test_mel_filterbank_shape_and_coverage():
     w = stft_mod.mel_filterbank_matrix(44100, 1025, 40, 30.0, 8000.0)
     assert w.shape == (1025, 40)
