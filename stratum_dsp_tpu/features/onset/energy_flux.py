@@ -25,13 +25,15 @@ def frame_rms_energies(samples: jax.Array, lengths: jax.Array, frame_size: int, 
     """
     b, t = samples.shape
     nf = max((t - frame_size) // hop + 1, 1)
-    x2 = samples * samples
-    c = jnp.concatenate([jnp.zeros((b, 1), x2.dtype), jnp.cumsum(x2, axis=-1)], axis=-1)
+    # Blocked frame sums (ops/framesum.py): exact given zero padding beyond
+    # lengths; a per-sample cumsum here costs ~20 ms/batch on TPU.
+    from ...ops.framesum import frame_sumsq
+
+    sums = frame_sumsq(samples, frame_size, hop, nf)
     starts = jnp.arange(nf) * hop
     ends = jnp.minimum(starts[None, :] + frame_size, jnp.maximum(lengths, 1)[:, None])
     ends = jnp.maximum(ends, starts[None, :] + 1)
-    sums = jnp.take_along_axis(c, ends, axis=-1) - c[:, starts]
-    cnt = (ends - starts[None, :]).astype(x2.dtype)
+    cnt = (ends - starts[None, :]).astype(sums.dtype)
     rms = jnp.sqrt(jnp.maximum(sums, 0.0) / cnt)
     n_frames = jnp.where(lengths >= frame_size, (lengths - frame_size) // hop + 1, 0)
     return rms, n_frames.astype(jnp.int32)

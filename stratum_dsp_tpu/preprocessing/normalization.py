@@ -65,20 +65,41 @@ def k_weighting_fir(sample_rate: float, n_taps: int = KWEIGHT_FIR_TAPS) -> np.nd
     return h.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _k_weighting_toeplitz(sample_rate: float, blk: int = KWEIGHT_FIR_TAPS) -> np.ndarray:
+    """Banded-Toeplitz FIR matrix ``H [2*blk, blk]``: with the signal split
+    into ``blk``-sample blocks, ``y_block[i] = [x_block[i-1] | x_block[i]] @ H``.
+    ``H[p, j] = h[blk + j - p]`` where in-range — this routes the 512-tap FIR
+    through the MXU instead of a single-channel conv (VPU-bound, ~4x slower
+    measured)."""
+    h = k_weighting_fir(sample_rate, blk)
+    H = np.zeros((2 * blk, blk), dtype=np.float32)
+    p = np.arange(2 * blk)[:, None]
+    j = np.arange(blk)[None, :]
+    k = blk + j - p
+    ok = (k >= 0) & (k < blk)
+    H[ok] = h[k[ok]]
+    return H
+
+
 def k_weighting_filter(samples: jax.Array, sample_rate: float) -> jax.Array:
-    """Apply the K-weighting filter to ``[B, T]`` samples via FIR convolution."""
-    h = jnp.asarray(k_weighting_fir(sample_rate))
-    n_taps = h.shape[0]
-    x = samples[:, None, :]  # [B, 1, T] (NCH)
-    k = h[None, None, ::-1]  # [1, 1, taps] flipped for correlation==IIR causality
-    y = jax.lax.conv_general_dilated(
-        x,
-        k,
-        window_strides=(1,),
-        padding=[(n_taps - 1, 0)],
-        dimension_numbers=("NCH", "IOH", "NCH"),
-    )
-    return y[:, 0, :]
+    """Apply the K-weighting filter to ``[B, T]`` samples as a blocked
+    Toeplitz matmul (exact truncated-FIR; zero initial state)."""
+    b, t = samples.shape
+    blk = KWEIGHT_FIR_TAPS
+    nb = -(-t // blk)
+    pad = nb * blk - t
+    x = jnp.pad(samples, ((0, 0), (0, pad))) if pad else samples
+    xb = x.reshape(b, nb, blk)
+    prev = jnp.concatenate([jnp.zeros((b, 1, blk), x.dtype), xb[:, :-1]], axis=1)
+    window = jnp.concatenate([prev, xb], axis=-1)  # [B, nb, 2*blk]
+    H = jnp.asarray(_k_weighting_toeplitz(sample_rate, blk))
+    # HIGH (bf16x3) reproduces f32 to ~1e-6 relative here (audio in [-1,1],
+    # taps sum O(1)) — well inside the 1e-4 FIR-vs-IIR contract — at half
+    # the passes of HIGHEST.
+    y = jnp.matmul(window, H, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGH)
+    return y.reshape(b, nb * blk)[:, :t]
 
 
 def calculate_lufs(

@@ -9,7 +9,9 @@ from stratum_dsp_tpu.features.period import novelty as nov
 from stratum_dsp_tpu.ops import masked
 from stratum_dsp_tpu.testing import SAMPLE_RATE, kick_pattern, pad_batch
 
-CFG = AnalysisConfig()
+# Parity vs the f64 numpy ports pins the f32 algorithm (bf16 STFT has its
+# own end-to-end decision-parity contract in test_stft.py).
+CFG = AnalysisConfig(stft_bf16=False)
 
 
 def np_superflux(spec, max_filter_bins):
