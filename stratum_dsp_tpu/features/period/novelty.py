@@ -92,27 +92,75 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
     bin_weights = jnp.arange(n_bins, dtype=jnp.float32)
     emit_stride2 = cfg.enable_tempogram_multi_resolution
 
+    # Band energy/HFC as ONE [K, 2*n_bands] matmul over x^2 (differs from the
+    # sliced jnp.sum only in reduction order; HIGHEST keeps f32 products).
+    ew = np.zeros((n_bins, 2 * len(active_bands)), np.float32)
+    for i, (_, s, e, _) in enumerate(active_bands):
+        ew[s:e, 2 * i] = 1.0
+        ew[s:e, 2 * i + 1] = np.arange(s, e, dtype=np.float32)
+    n_act = len(active_bands)
+
+    # SuperFlux band decomposition: the band-clamped max filter differs from
+    # the full-band one only within sf_k bins of a band edge, so each band's
+    # sum splits into an interior part read off ONE full-band d^2 pass (via a
+    # [K, n_bands] mask matmul) plus exact little edge runs. This replaces
+    # n_bands full-width maxpool+diff passes per stride with one.
+    sf_mask = np.zeros((n_bins, n_act), np.float32)
+    sf_mask[:, 0] = 1.0  # full band: the full-band pass is already exact
+    edge_runs = []  # per band i>0: list of (lo, hi, t0, t1) slices
+    for i, (_, s, e, _) in enumerate(active_bands):
+        if i == 0:
+            continue
+        if e - s <= 2 * sf_k:
+            edge_runs.append((i, [(s, e, 0, e - s)]))
+        else:
+            sf_mask[s + sf_k : e - sf_k, i] = 1.0
+            edge_runs.append(
+                (i, [
+                    (s, s + 2 * sf_k, 0, sf_k),
+                    (e - 2 * sf_k, e, sf_k, 2 * sf_k),
+                ])
+            )
+
+    def _band_sf_sums(log_prev_x, log_cur, d2_interior):
+        """[B, C, n_act] sums of clamped-filter d^2 per band."""
+        sums = jnp.einsum(
+            "bck,kj->bcj", d2_interior, jnp.asarray(sf_mask),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cols = [sums[..., i] for i in range(n_act)]
+        for i, runs in edge_runs:
+            extra = 0.0
+            for (lo, hi, t0, t1) in runs:
+                pm = masked.max_pool_1d(log_prev_x[..., lo:hi], sf_k)
+                d = jnp.maximum(log_cur[..., lo + t0 : lo + t1] - pm[..., t0:t1], 0.0)
+                extra = extra + jnp.sum(d * d, axis=-1)
+            cols[i] = cols[i] + extra
+        return jnp.stack(cols, axis=-1)
+
     def reducer(spec, fidx, fvalid, carry):
         prev2_frames = carry  # [B, 2, K] previous two raw magnitude frames
         b, c, k = spec.shape
-        prev = jnp.concatenate([prev2_frames[:, 1:, :], spec[:, :-1, :]], axis=1)
+        ext = jnp.concatenate([prev2_frames, spec], axis=1)  # [B, C+2, K]
+        # one log1p per frame; cur/prev/prev2 are shifted views of it
+        log_ext = jnp.log1p(jnp.maximum(ext, 0.0))
+        log_cur = log_ext[:, 2:]
+        log_prev = log_ext[:, 1:-1]
+        prev = ext[:, 1:-1]
 
-        log_cur = jnp.log1p(jnp.maximum(spec, 0.0))
-        log_prev = jnp.log1p(jnp.maximum(prev, 0.0))
-
-        sf = jnp.stack(
-            [_superflux_step(log_prev, log_cur, sf_k, s, e) for (_, s, e, _) in active_bands],
-            axis=-1,
-        )  # [B, C, n_active_bands]
+        pm_full = masked.max_pool_1d(log_prev, sf_k)
+        d_full = jnp.maximum(log_cur - pm_full, 0.0)
+        sf = jnp.sqrt(_band_sf_sums(log_prev, log_cur, d_full * d_full))
 
         x2 = spec * spec
-        energy = jnp.stack(
-            [jnp.sum(x2[..., s:e], axis=-1) for (_, s, e, _) in active_bands], axis=-1
-        )
-        hfc = jnp.stack(
-            [jnp.sum(x2[..., s:e] * bin_weights[s:e], axis=-1) for (_, s, e, _) in active_bands],
-            axis=-1,
-        )
+        eh = jnp.einsum(
+            "bck,kj->bcj", x2, jnp.asarray(ew),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, C, 2*n_bands]: (energy, hfc) interleaved per band
+        energy = eh[..., 0::2]
+        hfc = eh[..., 1::2]
 
         outs = {"superflux": sf, "energy": energy, "hfc": hfc}
 
@@ -122,23 +170,19 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
             # hop-H frames, so the multi-res hop-1024 pass derives all its
             # curves from this pass's features with zero extra STFT work
             # (multi_resolution.rs:237-239 recomputes the STFT instead).
-            prev2 = jnp.concatenate([prev2_frames, spec[:, :-2, :]], axis=1)
-            log_prev2 = jnp.log1p(jnp.maximum(prev2, 0.0))
-            outs["superflux2"] = jnp.stack(
-                [
-                    _superflux_step(log_prev2, log_cur, sf_k, s, e)
-                    for (_, s, e, _) in active_bands
-                ],
-                axis=-1,
-            )
+            log_prev2 = log_ext[:, :-2]
+            pm2 = masked.max_pool_1d(log_prev2, sf_k)
+            d2f = jnp.maximum(log_cur - pm2, 0.0)
+            outs["superflux2"] = jnp.sqrt(_band_sf_sums(log_prev2, log_cur, d2f * d2f))
 
         if use_mel:
             outs["mel"] = jnp.dot(log_cur, mel_w, preferred_element_type=jnp.float32)
 
         # Onset spectral flux: per-frame max-normalize then HWR L2 diff
         # (onset/spectral_flux.rs:116-157).
-        cur_max = jnp.max(spec, axis=-1, keepdims=True)
-        prev_max = jnp.max(prev, axis=-1, keepdims=True)
+        ext_max = jnp.max(ext, axis=-1, keepdims=True)  # [B, C+2, 1]
+        cur_max = ext_max[:, 2:]
+        prev_max = ext_max[:, 1:-1]
         cur_n = jnp.where(cur_max > EPSILON, spec / jnp.maximum(cur_max, EPSILON), 0.0)
         prev_n = jnp.where(prev_max > EPSILON, prev / jnp.maximum(prev_max, EPSILON), 0.0)
         d = jnp.maximum(cur_n - prev_n, 0.0)

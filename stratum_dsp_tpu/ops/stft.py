@@ -194,6 +194,161 @@ def stft_magnitude_chunk(
     return jnp.abs(spec).astype(jnp.float32)
 
 
+# --------------------------------------------------------------------------
+# Polyphase shared-block STFT (the bf16 TPU fast path for high-overlap STFTs)
+# --------------------------------------------------------------------------
+#
+# At frame/hop ratios R >= 8 (the 8192/512 key STFT and the 2048/256
+# multi-res pass) consecutive frames share all but one hop-block of samples.
+# Computing the DFT of each hop-block ONCE and combining R of them cuts the
+# MXU work ~R x vs the direct [frame, 2K] fused-basis matmul:
+#
+#   X_f[k] = sum_m e^{-2pi i k m/R} * Bd[f+m, k]
+#   Bd[j, k] = sum_s x[j*hop + s] * e^{-2pi i k s/N}   (one [hop, 2K] matmul)
+#
+# The tap phases are pure frame-offset phases, so with the per-block twiddle
+# C[j, k] = e^{-2pi i k j/R} Bd[j, k] the combine collapses to
+#
+#   X_f[k] = e^{+2pi i k f/R} * S_f[k],   S_f[k] = sum_{j=f}^{f+R-1} C[j, k]
+#
+# i.e. a width-R BOX SUM along frames — which runs as a banded 0/1 matmul on
+# the MXU (the same pattern as chroma.extractor.windowed_time_mean; a
+# frame-axis cumsum costs O(log T) HBM passes and measured far slower).
+#
+# Windowing uses the *periodic* Hann identity: with w[n] = 0.5 - 0.5
+# cos(2pi n/N) the windowed spectrum is exactly 0.5 X[k] - 0.25 X[k-1]
+# - 0.25 X[k+1] (X[-1] = conj X[1] for real input). The reference's
+# symmetric (n-1) Hann differs from the periodic one by O(1/N) per window
+# sample — far below the bf16 fast path's existing ~0.4% rounding contract
+# (test_stft.py pins decision parity) — so the polyphase path is enabled
+# only when ``bf16`` is on; the f32 parity path keeps the direct
+# symmetric-Hann DFT. The untwiddle phase e^{+2pi i k f/R} is folded into
+# the 3-bin mix, where the magnitude kills the k-dependent outer factor and
+# leaves only per-frame scalars e^{-+2pi i f/R} on the k-+1 terms:
+#
+#   |Xw[f,k]| = |0.5 S[k] - 0.25 (e^{-i phi} S[k-1] + e^{+i phi} S[k+1])|,
+#   phi = 2pi f / R,  S[-1] = conj S[1].
+
+POLY_FT = 128  # frames per box-sum tile (band waste = (FT+R)/R per matmul)
+
+
+def _poly_block_basis(n: int, hop: int, kp: int, bf16: bool) -> jax.Array:
+    """[hop, 2*KP] unwindowed DFT basis on the N-point grid restricted to a
+    hop-block's support (device iota build, exact int phase)."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (hop, kp), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (hop, kp), 1)
+    phase = ((s * k) % n).astype(jnp.float32) * (2.0 * np.pi / n)
+    basis = jnp.concatenate([jnp.cos(phase), -jnp.sin(phase)], axis=1)
+    return basis.astype(jnp.bfloat16) if bf16 else basis
+
+
+def poly_num_blocks(ext: int, frame_size: int, hop: int) -> int:
+    """Blocks a polyphase chunk of ``ext`` frames consumes (callers must pad
+    samples so block ``base + ext + R`` is sliceable)."""
+    return ext + frame_size // hop
+
+
+def polyphase_chunk_magnitudes(
+    samples: jax.Array,
+    base: jax.Array,
+    ext: int,
+    frame_size: int,
+    hop: int,
+    keep_bins: int,
+    bf16: bool = True,
+) -> jax.Array:
+    """Periodic-Hann STFT magnitudes for frames ``[base, base+ext)`` of
+    ``samples [B, T]`` via the polyphase shared-block path; returns
+    ``[B, ext, keep_bins]``. ``samples`` must be zero-padded so sample
+    ``(base + ext + R) * hop`` is in range."""
+    b = samples.shape[0]
+    r = frame_size // hop
+    kp = -(-(keep_bins + 1) // 128) * 128  # bin keep_bins feeds the k+1 mix
+    eb = ext + r  # blocks consumed (one spare so the tile pad below is safe)
+
+    # stage 1: per-block DFT, one MXU matmul
+    region = jax.lax.dynamic_slice(samples, (0, base * hop), (b, eb * hop))
+    blocks = region.reshape(b, eb, hop)
+    basis = _poly_block_basis(frame_size, hop, kp, bf16)
+    if bf16:
+        blocks = blocks.astype(jnp.bfloat16)
+    bd = jnp.matmul(blocks, basis, preferred_element_type=jnp.float32)
+
+    # per-block twiddle C = e^{-2pi i k j / R} * Bd  (j global: base + local)
+    jloc = jax.lax.broadcasted_iota(jnp.int32, (eb, kp), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (eb, kp), 1)
+    p = (((base + jloc) % r) * (kk % r)) % r
+    ang = p.astype(jnp.float32) * (2.0 * np.pi / r)
+    twre, twim = jnp.cos(ang), -jnp.sin(ang)
+    bre, bim = bd[..., :kp], bd[..., kp:]
+    c = jnp.concatenate(
+        [bre * twre - bim * twim, bre * twim + bim * twre], axis=-1
+    )
+    if bf16:
+        c = c.astype(jnp.bfloat16)  # halves box-sum HBM reads; f32 accumulate
+
+    # width-R box sum along frames as banded MXU matmuls over FT-frame tiles:
+    # S[f] = W1 @ cur_tile + W2 @ next_tile (the band crosses one tile edge)
+    ft = POLY_FT
+    nt = -(-ext // ft)
+    pad_rows = nt * ft + ft - eb
+    cpad = jnp.pad(c, ((0, 0), (0, pad_rows), (0, 0)))
+    cur = cpad[:, : nt * ft].reshape(b, nt, ft, 2 * kp)
+    nxt = cpad[:, ft : (nt + 1) * ft].reshape(b, nt, ft, 2 * kp)
+    f_i = jax.lax.broadcasted_iota(jnp.int32, (ft, ft), 0)
+    e_i = jax.lax.broadcasted_iota(jnp.int32, (ft, ft), 1)
+    w1 = ((e_i >= f_i) & (e_i < f_i + r)).astype(c.dtype)
+    w2 = (e_i + ft < f_i + r).astype(c.dtype)
+    s = jnp.einsum(
+        "fe,bjek->bjfk", w1, cur, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "fe,bjek->bjfk", w2, nxt, preferred_element_type=jnp.float32
+    )
+    s = s.reshape(b, nt * ft, 2 * kp)[:, :ext]
+    sre, sim = s[..., :kp], s[..., kp:]
+
+    # periodic-Hann 3-bin mix with the untwiddle folded in (see header);
+    # S[-1] = conj S[1]; the top kp-keep_bins >= 1 spare bins absorb k+1.
+    floc = base + jnp.arange(ext)
+    phi = ((floc % r).astype(jnp.float32) * (2.0 * np.pi / r))[None, :, None]
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    m1re = jnp.concatenate([sre[..., 1:2], sre[..., :-1]], axis=-1)
+    m1im = jnp.concatenate([-sim[..., 1:2], sim[..., :-1]], axis=-1)
+    p1re = jnp.concatenate([sre[..., 1:], sre[..., -1:]], axis=-1)
+    p1im = jnp.concatenate([sim[..., 1:], sim[..., -1:]], axis=-1)
+    wre = 0.5 * sre - 0.25 * (
+        (m1re + p1re) * cphi + (m1im - p1im) * sphi
+    )
+    wim = 0.5 * sim - 0.25 * (
+        (m1im + p1im) * cphi + (p1re - m1re) * sphi
+    )
+    mag = jnp.sqrt(wre * wre + wim * wim)
+    return mag[..., :keep_bins]
+
+
+def use_polyphase(frame_size: int, hop: int, bf16: bool, keep_bins=None) -> bool:
+    """The polyphase path pays off when >=8 frames share each block; it is
+    part of the bf16 fast-path contract (periodic vs symmetric Hann).
+    ``STRATUM_NO_POLYPHASE=1`` disables it; ``STRATUM_FORCE_POLYPHASE=1``
+    enables it off-TPU (parity tests)."""
+    import os
+
+    if os.environ.get("STRATUM_NO_POLYPHASE"):
+        return False
+    if not bf16 or frame_size % hop or hop % 128 or (frame_size // hop) < 16:
+        # R=8 (the 2048/256 multi-res pass) measured a net LOSS end-to-end:
+        # the per-frame twiddle/3-bin-mix VPU work outweighs the 8x MXU
+        # saving at small frame sizes. Only the very-high-overlap key STFT
+        # (8192/512, R=16) wins.
+        return False
+    kb = frame_size // 2 + 1 if keep_bins is None else keep_bins
+    if -(-(kb + 1) // 128) * 128 > frame_size:
+        return False
+    if os.environ.get("STRATUM_FORCE_POLYPHASE"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def stft_reduce(
     samples: jax.Array,
     lengths: jax.Array,
@@ -247,29 +402,41 @@ def stft_reduce(
         lengths >= frame_size, (lengths - frame_size) // hop + 1, 0
     ).astype(jnp.int32)
 
+    ext = chunk_frames + 2 * halo
+    kbins = keep_bins if keep_bins is not None else frame_size // 2 + 1
+    poly = use_polyphase(frame_size, hop, bf16, kbins)
+
     # Pad samples so every chunk (+halo) can slice a full region.
     need = (nf_padded + 2 * halo - 1) * hop + frame_size
+    if poly:
+        need = max(need, (nf_padded + 2 * halo + poly_num_blocks(0, frame_size, hop)) * hop)
     if need > t:
         samples = jnp.pad(samples, ((0, 0), (0, need - t)))
 
-    window = hann_window(frame_size, samples.dtype)
-    basis = (
-        fused_windowed_basis(frame_size, window, keep_bins, bf16)
-        if frame_size <= DFT_MATMUL_MAX
-        else None
-    )
-    ext = chunk_frames + 2 * halo
+    if poly:
+        window = basis = None
+    else:
+        window = hann_window(frame_size, samples.dtype)
+        basis = (
+            fused_windowed_basis(frame_size, window, keep_bins, bf16)
+            if frame_size <= DFT_MATMUL_MAX
+            else None
+        )
 
     def body(carry, chunk_idx):
         first_frame = chunk_idx * chunk_frames - halo  # may be negative
-        start = jnp.maximum(first_frame, 0) * hop
-        region = jax.lax.dynamic_slice(
-            samples, (0, start), (b, (ext - 1) * hop + frame_size)
-        )
-        frames = extract_frames(region, ext, frame_size, hop)
-        spec = stft_magnitude_chunk(frames, window, basis, keep_bins)
-        # Global frame indices covered by this (clamped) slice.
         base = jnp.maximum(first_frame, 0)
+        if poly:
+            spec = polyphase_chunk_magnitudes(
+                samples, base, ext, frame_size, hop, kbins
+            )
+        else:
+            region = jax.lax.dynamic_slice(
+                samples, (0, base * hop), (b, (ext - 1) * hop + frame_size)
+            )
+            frames = extract_frames(region, ext, frame_size, hop)
+            spec = stft_magnitude_chunk(frames, window, basis, keep_bins)
+        # Global frame indices covered by this (clamped) slice.
         fidx = base + jnp.arange(ext)
         fvalid = (fidx[None, :] >= 0) & (fidx[None, :] < frame_counts[:, None])
         # Frames before the clamp point duplicate frame 0 content; mark invalid

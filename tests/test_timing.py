@@ -2,7 +2,9 @@
 
 import logging
 
+import jax
 import numpy as np
+import pytest
 
 from stratum_dsp_tpu.analysis import analyze_batch_timed, decode_results
 from stratum_dsp_tpu.analysis.timing import stage_timings
@@ -10,6 +12,24 @@ from stratum_dsp_tpu.config import AnalysisConfig
 from stratum_dsp_tpu.testing import kick_pattern, pad_batch
 
 CFG = AnalysisConfig()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """XLA:CPU ``executable.serialize()`` intermittently crashes (SIGABRT /
+    SIGSEGV) on the full-pipeline prefix executables these tests compile —
+    observed three times, always in the persistent-cache write path, killing
+    the whole suite. Skip persistent caching for this module only; everything
+    else keeps the warm-suite speedup. ``reset_cache()`` is required because
+    ``is_cache_used`` memoizes its verdict in process globals — flipping the
+    config flag alone does nothing once any compile has happened."""
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
 
 
 def test_timed_batch_stamps_processing_time(caplog):
