@@ -5,13 +5,15 @@
 // examples/analyze_batch.rs:239-262): a C++ library that decodes WAV (own
 // RIFF parser, all common sample formats), FLAC (own from-scratch decoder,
 // flac_decoder.cpp), MP3 (libmpg123, dlopen'd so a missing lib degrades
-// gracefully) and OGG Vorbis (libvorbisfile, dlopen'd), mixes to mono,
-// optionally resamples, and runs a std::thread decode pool for batches.
-// Exposed as a C API consumed by Python via ctypes
-// (stratum_dsp_tpu/io/decode.py).
+// gracefully), OGG Vorbis (libvorbisfile, dlopen'd) and m4a/AAC + any other
+// ffmpeg-supported container (libavformat/avcodec, dlopen'd,
+// ffmpeg_decoder.cpp), mixes to mono, optionally resamples, and runs a
+// std::thread decode pool for batches. Exposed as a C API consumed by
+// Python via ctypes (stratum_dsp_tpu/io/decode.py).
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -o libstratum_audio.so \
-//            stratum_audio.cpp flac_decoder.cpp -ldl -lpthread
+//            stratum_audio.cpp flac_decoder.cpp ffmpeg_decoder.cpp \
+//            -ldl -lpthread
 
 #include <atomic>
 #include <cstdint>
@@ -29,6 +31,14 @@ int flac_decode_buffer(const uint8_t* buf, size_t size,
                        std::vector<float>* interleaved, int* channels_out,
                        int* sample_rate_out);
 
+// ffmpeg_decoder.cpp (dlopen'd libavformat/avcodec: m4a/AAC + universal
+// fallback, analogue of symphonia's format coverage in analyze_file.rs:25-180)
+bool ffmpeg_available();
+int ffmpeg_decode_file(const char* path, std::vector<float>* interleaved,
+                       int* channels_out, int* sample_rate_out);
+int ffmpeg_encode_m4a(const char* path, const float* mono, int64_t n,
+                      int sample_rate);
+
 namespace {
 
 enum MixMode {
@@ -44,6 +54,7 @@ enum SaError {
   SA_ERR_ALLOC = 4,
   SA_ERR_MP3_UNAVAILABLE = 5,
   SA_ERR_OGG_UNAVAILABLE = 6,
+  SA_ERR_FFMPEG_UNAVAILABLE = 7,
 };
 
 struct Decoded {
@@ -377,11 +388,30 @@ int decode_ogg(const char* path, int mix_mode, Decoded& dec) {
   return SA_OK;
 }
 
+int decode_ffmpeg(const char* path, int mix_mode, Decoded& dec) {
+  std::vector<float> interleaved;
+  int channels = 0, sr = 0;
+  int rc = ffmpeg_decode_file(path, &interleaved, &channels, &sr);
+  if (rc != 0) {
+    if (rc == 7) return SA_ERR_FFMPEG_UNAVAILABLE;
+    return rc == 3 ? SA_ERR_UNSUPPORTED : (rc == 1 ? SA_ERR_OPEN : SA_ERR_FORMAT);
+  }
+  mix_to_mono(interleaved.data(),
+              static_cast<int64_t>(interleaved.size() / channels), channels,
+              mix_mode, dec.mono);
+  dec.sample_rate = sr;
+  return SA_OK;
+}
+
 int decode_any(const char* path, int mix_mode, Decoded& dec) {
   const char* ext = std::strrchr(path, '.');
   if (ext && (!strcasecmp(ext, ".mp3"))) return decode_mp3(path, mix_mode, dec);
   if (ext && (!strcasecmp(ext, ".flac"))) return decode_flac(path, mix_mode, dec);
   if (ext && (!strcasecmp(ext, ".ogg"))) return decode_ogg(path, mix_mode, dec);
+  if (ext && (!strcasecmp(ext, ".m4a") || !strcasecmp(ext, ".mp4") ||
+              !strcasecmp(ext, ".aac") || !strcasecmp(ext, ".wma") ||
+              !strcasecmp(ext, ".aif") || !strcasecmp(ext, ".aiff")))
+    return decode_ffmpeg(path, mix_mode, dec);
   int rc = decode_wav(path, mix_mode, dec);
   if (rc == SA_ERR_FORMAT && ext && !strcasecmp(ext, ".wav")) return rc;
   if (rc != SA_OK) {
@@ -391,6 +421,8 @@ int decode_any(const char* path, int mix_mode, Decoded& dec) {
     rc2 = decode_ogg(path, mix_mode, dec);
     if (rc2 == SA_OK) return SA_OK;
     rc2 = decode_mp3(path, mix_mode, dec);
+    if (rc2 == SA_OK) return SA_OK;
+    rc2 = decode_ffmpeg(path, mix_mode, dec);  // universal last resort
     if (rc2 == SA_OK) return SA_OK;
   }
   return rc;
@@ -452,5 +484,14 @@ void sa_decode_batch(const char** paths, int n, int target_sr, int mix_mode,
 int sa_mp3_available() { return mpg123_api().ok ? 1 : 0; }
 
 int sa_ogg_available() { return vorbis_api().ok ? 1 : 0; }
+
+int sa_ffmpeg_available() { return ffmpeg_available() ? 1 : 0; }
+
+// Test-fixture tool: encode mono f32 -> AAC/m4a (the analysis framework
+// never encodes; this exists so test assets can be produced hermetically).
+int sa_encode_m4a(const char* path, const float* mono, int64_t n,
+                  int sample_rate) {
+  return ffmpeg_encode_m4a(path, mono, n, sample_rate);
+}
 
 }  // extern "C"

@@ -35,6 +35,7 @@ _ERR_NAMES = {
     4: "allocation failure",
     5: "mp3 decoding unavailable (libmpg123 not found)",
     6: "ogg decoding unavailable (libvorbisfile not found)",
+    7: "ffmpeg decoding unavailable (libavformat/libavcodec not found)",
 }
 
 _lib_lock = threading.Lock()
@@ -48,7 +49,9 @@ def _build_native() -> bool:
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                 "-o", str(_NATIVE_LIB), str(_NATIVE_SRC),
-                str(_NATIVE_SRC.parent / "flac_decoder.cpp"), "-ldl", "-lpthread",
+                str(_NATIVE_SRC.parent / "flac_decoder.cpp"),
+                str(_NATIVE_SRC.parent / "ffmpeg_decoder.cpp"),
+                "-ldl", "-lpthread",
             ],
             check=True,
             capture_output=True,
@@ -65,7 +68,11 @@ def native_lib() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        srcs = [_NATIVE_SRC, _NATIVE_SRC.parent / "flac_decoder.cpp"]
+        srcs = [
+            _NATIVE_SRC,
+            _NATIVE_SRC.parent / "flac_decoder.cpp",
+            _NATIVE_SRC.parent / "ffmpeg_decoder.cpp",
+        ]
         if not _NATIVE_LIB.exists() or any(
             s.exists() and s.stat().st_mtime > _NATIVE_LIB.stat().st_mtime
             for s in srcs
@@ -94,6 +101,12 @@ def native_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.sa_mp3_available.restype = ctypes.c_int
         lib.sa_ogg_available.restype = ctypes.c_int
+        lib.sa_ffmpeg_available.restype = ctypes.c_int
+        lib.sa_encode_m4a.restype = ctypes.c_int
+        lib.sa_encode_m4a.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -163,6 +176,27 @@ def decode_file(
         samples = samples[i0] * (1 - frac) + samples[i1] * frac
         sr_out = target_sr
     return samples.astype(np.float32), sr_out
+
+
+def ffmpeg_available() -> bool:
+    """True if the dlopen'd libavformat/libavcodec path is usable."""
+    lib = native_lib()
+    return bool(lib is not None and lib.sa_ffmpeg_available())
+
+
+def encode_m4a(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Encode mono f32 samples to AAC-in-m4a (test-fixture tool only; the
+    analysis framework never encodes)."""
+    lib = native_lib()
+    if lib is None or not lib.sa_ffmpeg_available():
+        raise IOError("ffmpeg encode unavailable")
+    x = np.ascontiguousarray(np.asarray(samples, np.float32))
+    rc = lib.sa_encode_m4a(
+        path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x), sample_rate,
+    )
+    if rc != 0:
+        raise IOError(f"m4a encode failed for {path}: {_ERR_NAMES.get(rc, rc)}")
 
 
 def decode_batch(

@@ -122,3 +122,44 @@ def test_native_lib_builds():
     assert lib is not None, "native decoder must build in this environment"
     assert lib.sa_mp3_available() in (0, 1)
     assert lib.sa_ogg_available() in (0, 1)
+    assert lib.sa_ffmpeg_available() in (0, 1)
+
+
+def test_m4a_roundtrip(tmp_path, signal16):
+    """m4a/AAC decode via the dlopen'd ffmpeg path (symphonia's m4a coverage,
+    analyze_file.rs:25-180). AAC is lossy: assert alignment + high correlation
+    rather than bit equality."""
+    from stratum_dsp_tpu.io.decode import encode_m4a, ffmpeg_available
+
+    if not ffmpeg_available():
+        pytest.skip("libavformat/libavcodec not present")
+    x = signal16.astype(np.float32) / 32768.0
+    path = str(tmp_path / "sig.m4a")
+    encode_m4a(path, x, SAMPLE_RATE)
+    y, sr = decode_file(path)
+    assert sr == SAMPLE_RATE
+    # encoder may pad the tail to a frame boundary
+    assert len(x) <= len(y) <= len(x) + 4096
+    n = min(len(x), len(y))
+    seg_x, seg_y = x[:n], y[:n]
+    corr = float(
+        np.dot(seg_x, seg_y)
+        / (np.linalg.norm(seg_x) * np.linalg.norm(seg_y) + 1e-12)
+    )
+    # the mp4 edit list must absorb the AAC priming delay (zero lag)
+    assert corr > 0.97, corr
+
+
+def test_m4a_in_decode_batch(tmp_path, signal16):
+    from stratum_dsp_tpu.io.decode import encode_m4a, ffmpeg_available
+
+    if not ffmpeg_available():
+        pytest.skip("libavformat/libavcodec not present")
+    x = signal16.astype(np.float32) / 32768.0
+    wav = str(tmp_path / "a.wav")
+    m4a = str(tmp_path / "b.m4a")
+    _write_wav(wav, signal16, SAMPLE_RATE)
+    encode_m4a(m4a, x, SAMPLE_RATE)
+    out = decode_batch([wav, m4a])
+    assert out[0][2] is None and out[1][2] is None
+    assert out[0][1] == out[1][1] == SAMPLE_RATE
