@@ -308,7 +308,8 @@ def analyze_batch_arrays(
     perc_used = jnp.zeros_like(perc_needed)
     if cfg.enable_tempogram_percussive_fallback:
         pfeats = nov.compute_bpm_features_from_spec(
-            perc_spec, frame_counts, cfg, sample_rate, cfg.frame_size
+            perc_spec, frame_counts, cfg, sample_rate, cfg.frame_size,
+            emit_stride2=False, emit_onset_flux=False,
         )
         pcurves, pmask, pn = nov.assemble_novelty_curves(pfeats, frame_counts, cfg)
         pest = _tempogram_estimate(pcurves, pmask, pn, cfg, frame_rate, base_top_n)

@@ -59,6 +59,9 @@ def bucket_for(n_samples: int, sr: int, buckets=DEFAULT_BUCKETS) -> int:
 
 
 def main(argv=None) -> int:
+    from .. import compile_cache
+
+    compile_cache.enable()  # persistent XLA cache + honor JAX_PLATFORMS=cpu
     args = build_parser().parse_args(argv)
     if args.verbose:
         logging.basicConfig(

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .. import compile_cache
+
+    compile_cache.enable()  # persistent XLA cache + honor JAX_PLATFORMS=cpu
     args = build_parser().parse_args(argv)
     if args.verbose:
         logging.basicConfig(

@@ -22,3 +22,18 @@ def enable(path: str = DEFAULT_DIR) -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    honor_platform_env()
+
+
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` actually mean CPU.
+
+    The axon TPU plugin registers itself regardless of the env var, so a user
+    asking for a CPU run silently gets the tunnel chip (and its bf16 fast
+    paths). An explicit config update is the only thing the plugin respects
+    (CLAUDE.md hard-won rules); call before the first compilation."""
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want and "tpu" not in want:
+        import jax
+
+        jax.config.update("jax_platforms", want)

@@ -58,11 +58,15 @@ def hop_candidates(
         from ...parallel.timeblocks import compute_bpm_spectral_features_sharded
 
         feats, frame_counts, _ = compute_bpm_spectral_features_sharded(
-            samples, lengths, cfg, sample_rate, cfg.frame_size, hop, mesh
+            samples, lengths, cfg, sample_rate, cfg.frame_size, hop, mesh,
+            emit_stride2=False, emit_onset_flux=False,
         )
     else:
+        # Aux hop pass: superflux2 (hop-2H derivation) and onset_sflux are
+        # consumed only from the BASE pass — skip their reducer work here.
         feats, frame_counts, _ = nov.compute_bpm_spectral_features(
-            samples, lengths, cfg, sample_rate, cfg.frame_size, hop, chunk_frames=1024
+            samples, lengths, cfg, sample_rate, cfg.frame_size, hop,
+            chunk_frames=1024, emit_stride2=False, emit_onset_flux=False,
         )
     curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
     frame_rate = sample_rate / hop

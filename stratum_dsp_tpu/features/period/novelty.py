@@ -70,8 +70,20 @@ def _superflux_step(log_prev: jax.Array, log_cur: jax.Array, k: int, start: int,
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
 
 
-def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
-    """Build the per-chunk reducer + carry init for the BPM spectral path."""
+def make_bpm_reducer(
+    cfg: AnalysisConfig,
+    sample_rate: int,
+    frame_size: int,
+    emit_stride2=None,
+    emit_onset_flux: bool = True,
+):
+    """Build the per-chunk reducer + carry init for the BPM spectral path.
+
+    ``emit_stride2``/``emit_onset_flux`` let auxiliary passes (the multi-res
+    hop-256 pass, the percussive rerun) skip outputs only the BASE hop pass
+    consumes — superflux2 feeds the derived hop-1024 curves and onset_sflux
+    feeds onset consensus; neither is read from a non-base pass, and XLA does
+    not DCE unused scan outputs through the streaming reducer."""
     n_bins = frame_size // 2 + 1
     bands = band_edges(cfg, sample_rate, n_bins)
     use_bands = cfg.enable_tempogram_band_fusion
@@ -90,7 +102,8 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
 
     active_bands = bands if use_bands else bands[:1]
     bin_weights = jnp.arange(n_bins, dtype=jnp.float32)
-    emit_stride2 = cfg.enable_tempogram_multi_resolution
+    if emit_stride2 is None:
+        emit_stride2 = cfg.enable_tempogram_multi_resolution
 
     # Band energy/HFC as ONE [K, 2*n_bands] matmul over x^2 (differs from the
     # sliced jnp.sum only in reduction order; HIGHEST keeps f32 products).
@@ -178,15 +191,20 @@ def make_bpm_reducer(cfg: AnalysisConfig, sample_rate: int, frame_size: int):
         if use_mel:
             outs["mel"] = jnp.dot(log_cur, mel_w, preferred_element_type=jnp.float32)
 
-        # Onset spectral flux: per-frame max-normalize then HWR L2 diff
-        # (onset/spectral_flux.rs:116-157).
-        ext_max = jnp.max(ext, axis=-1, keepdims=True)  # [B, C+2, 1]
-        cur_max = ext_max[:, 2:]
-        prev_max = ext_max[:, 1:-1]
-        cur_n = jnp.where(cur_max > EPSILON, spec / jnp.maximum(cur_max, EPSILON), 0.0)
-        prev_n = jnp.where(prev_max > EPSILON, prev / jnp.maximum(prev_max, EPSILON), 0.0)
-        d = jnp.maximum(cur_n - prev_n, 0.0)
-        outs["onset_sflux"] = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        if emit_onset_flux:
+            # Onset spectral flux: per-frame max-normalize then HWR L2 diff
+            # (onset/spectral_flux.rs:116-157).
+            ext_max = jnp.max(ext, axis=-1, keepdims=True)  # [B, C+2, 1]
+            cur_max = ext_max[:, 2:]
+            prev_max = ext_max[:, 1:-1]
+            cur_n = jnp.where(
+                cur_max > EPSILON, spec / jnp.maximum(cur_max, EPSILON), 0.0
+            )
+            prev_n = jnp.where(
+                prev_max > EPSILON, prev / jnp.maximum(prev_max, EPSILON), 0.0
+            )
+            d = jnp.maximum(cur_n - prev_n, 0.0)
+            outs["onset_sflux"] = jnp.sqrt(jnp.sum(d * d, axis=-1))
 
         new_carry = spec[:, -2:, :]
         return outs, new_carry
@@ -205,6 +223,8 @@ def compute_bpm_spectral_features(
     frame_size: int,
     hop: int,
     chunk_frames: int = 512,
+    emit_stride2=None,
+    emit_onset_flux: bool = True,
 ):
     """Run the streaming STFT over the batch and return per-frame features.
 
@@ -212,7 +232,10 @@ def compute_bpm_spectral_features(
     """
     # bound the [B, chunk, frame] buffer for large batches (see key pipeline)
     chunk_frames = int(min(chunk_frames, max(60_000_000 // max(samples.shape[0] * frame_size, 1), 128)))
-    reducer, carry_init, band_names = make_bpm_reducer(cfg, sample_rate, frame_size)
+    reducer, carry_init, band_names = make_bpm_reducer(
+        cfg, sample_rate, frame_size,
+        emit_stride2=emit_stride2, emit_onset_flux=emit_onset_flux,
+    )
     outs, nf_padded, frame_counts = stft_reduce(
         samples, lengths, frame_size, hop, reducer, carry_init,
         chunk_frames=chunk_frames, bf16=cfg.stft_bf16,
@@ -227,12 +250,17 @@ def compute_bpm_features_from_spec(
     cfg: AnalysisConfig,
     sample_rate: int,
     frame_size: int,
+    emit_stride2=None,
+    emit_onset_flux: bool = True,
 ):
     """Same per-frame features as the streaming reducer, but from a
     materialized spectrogram ``[B, F, K]`` (used for HPSS / percussive
     variants where the spectrogram already exists). Invalid frames must be
     zeroed by the caller."""
-    reducer, carry_init, band_names = make_bpm_reducer(cfg, sample_rate, frame_size)
+    reducer, carry_init, band_names = make_bpm_reducer(
+        cfg, sample_rate, frame_size,
+        emit_stride2=emit_stride2, emit_onset_flux=emit_onset_flux,
+    )
     b, f, k = spec.shape
     fvalid = masked.length_mask(frame_counts, f)
     spec = jnp.where(fvalid[..., None], spec, 0.0)

@@ -242,48 +242,65 @@ def _poly_block_basis(n: int, hop: int, kp: int, bf16: bool) -> jax.Array:
     return basis.astype(jnp.bfloat16) if bf16 else basis
 
 
+def _poly_twiddle_table(r: int, kp: int) -> tuple:
+    """Constant ``[r, kp]`` twiddle e^{-2pi i k t/R} for block class t = j%R
+    (valid because chunk starts are aligned to R). Broadcast-multiplied over
+    ``[B, eb/R, R, kp]`` — no per-chunk trig, no gather."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (r, kp), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (r, kp), 1)
+    ang = ((t * (k % r)) % r).astype(jnp.float32) * (2.0 * np.pi / r)
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
 def poly_num_blocks(ext: int, frame_size: int, hop: int) -> int:
     """Blocks a polyphase chunk of ``ext`` frames consumes (callers must pad
-    samples so block ``base + ext + R`` is sliceable)."""
-    return ext + frame_size // hop
+    samples so block ``start + poly_num_blocks`` is sliceable). Rounded up to
+    a multiple of R for the class-grouped stage-1 reshape."""
+    r = frame_size // hop
+    return -(-(ext + r) // r) * r
 
 
 def polyphase_chunk_magnitudes(
     samples: jax.Array,
-    base: jax.Array,
+    start: jax.Array,
     ext: int,
     frame_size: int,
     hop: int,
     keep_bins: int,
     bf16: bool = True,
 ) -> jax.Array:
-    """Periodic-Hann STFT magnitudes for frames ``[base, base+ext)`` of
+    """Periodic-Hann STFT magnitudes for frames ``[start, start+ext)`` of
     ``samples [B, T]`` via the polyphase shared-block path; returns
-    ``[B, ext, keep_bins]``. ``samples`` must be zero-padded so sample
-    ``(base + ext + R) * hop`` is in range."""
+    ``[B, ext, keep_bins]``.
+
+    ``start`` MUST be a multiple of R = frame_size//hop (callers align the
+    chunk grid; this makes every block's twiddle class and every frame's mix
+    phase a compile-time constant). ``samples`` must be zero-padded so sample
+    ``(start + poly_num_blocks(ext)) * hop`` is in range."""
     b = samples.shape[0]
     r = frame_size // hop
     kp = -(-(keep_bins + 1) // 128) * 128  # bin keep_bins feeds the k+1 mix
-    eb = ext + r  # blocks consumed (one spare so the tile pad below is safe)
+    ebp = poly_num_blocks(ext, frame_size, hop)
 
-    # stage 1: per-block DFT, one MXU matmul
-    region = jax.lax.dynamic_slice(samples, (0, base * hop), (b, eb * hop))
-    blocks = region.reshape(b, eb, hop)
+    # stage 1: per-block DFT, ONE well-shaped MXU matmul (fragmenting it by
+    # twiddle class starved the MXU: ~eb/R rows per class)
+    region = jax.lax.dynamic_slice(samples, (0, start * hop), (b, ebp * hop))
+    blocks = region.reshape(b, ebp, hop)
     basis = _poly_block_basis(frame_size, hop, kp, bf16)
     if bf16:
         blocks = blocks.astype(jnp.bfloat16)
     bd = jnp.matmul(blocks, basis, preferred_element_type=jnp.float32)
 
-    # per-block twiddle C = e^{-2pi i k j / R} * Bd  (j global: base + local)
-    jloc = jax.lax.broadcasted_iota(jnp.int32, (eb, kp), 0)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (eb, kp), 1)
-    p = (((base + jloc) % r) * (kk % r)) % r
-    ang = p.astype(jnp.float32) * (2.0 * np.pi / r)
-    twre, twim = jnp.cos(ang), -jnp.sin(ang)
-    bre, bim = bd[..., :kp], bd[..., kp:]
+    # per-block twiddle C = e^{-2pi i k j/R} * Bd. start % R == 0 makes the
+    # class pattern j % R static: one broadcast multiply by a constant
+    # [R, kp] table (no trig, no gather — XLA folds the table).
+    twre, twim = _poly_twiddle_table(r, kp)
+    bre = bd[..., :kp].reshape(b, ebp // r, r, kp)
+    bim = bd[..., kp:].reshape(b, ebp // r, r, kp)
     c = jnp.concatenate(
         [bre * twre - bim * twim, bre * twim + bim * twre], axis=-1
-    )
+    ).reshape(b, ebp, 2 * kp)
+    eb = ebp
     if bf16:
         c = c.astype(jnp.bfloat16)  # halves box-sum HBM reads; f32 accumulate
 
@@ -309,8 +326,10 @@ def polyphase_chunk_magnitudes(
 
     # periodic-Hann 3-bin mix with the untwiddle folded in (see header);
     # S[-1] = conj S[1]; the top kp-keep_bins >= 1 spare bins absorb k+1.
-    floc = base + jnp.arange(ext)
-    phi = ((floc % r).astype(jnp.float32) * (2.0 * np.pi / r))[None, :, None]
+    # start % R == 0, so the frame phase is the compile-time arange pattern.
+    phi = ((jnp.arange(ext) % r).astype(jnp.float32) * (2.0 * np.pi / r))[
+        None, :, None
+    ]
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
     m1re = jnp.concatenate([sre[..., 1:2], sre[..., :-1]], axis=-1)
     m1im = jnp.concatenate([-sim[..., 1:2], sim[..., :-1]], axis=-1)
@@ -394,6 +413,18 @@ def stft_reduce(
         # degrade gracefully (the reference returns an empty spectrogram and
         # downstream stages fall back to defaults, e.g. lib.rs:985-1009)
         nf = 1
+
+    kbins = keep_bins if keep_bins is not None else frame_size // 2 + 1
+    poly = use_polyphase(frame_size, hop, bf16, kbins)
+    r = frame_size // hop
+    if poly:
+        # Align the chunk grid so every chunk's first frame is a multiple of
+        # R: round chunk_frames up to a multiple of R and left-pad the
+        # samples by halo*hop so the first chunk needs no clamping. Chunk c
+        # then covers padded frames [c*chunk_frames, ...), all = 0 mod R, and
+        # the polyphase twiddle classes / mix phases are compile-time
+        # constants.
+        chunk_frames = -(-chunk_frames // r) * r
     n_chunks = -(-nf // chunk_frames)
     nf_padded = n_chunks * chunk_frames
 
@@ -403,15 +434,18 @@ def stft_reduce(
     ).astype(jnp.int32)
 
     ext = chunk_frames + 2 * halo
-    kbins = keep_bins if keep_bins is not None else frame_size // 2 + 1
-    poly = use_polyphase(frame_size, hop, bf16, kbins)
 
     # Pad samples so every chunk (+halo) can slice a full region.
-    need = (nf_padded + 2 * halo - 1) * hop + frame_size
     if poly:
-        need = max(need, (nf_padded + 2 * halo + poly_num_blocks(0, frame_size, hop)) * hop)
-    if need > t:
-        samples = jnp.pad(samples, ((0, 0), (0, need - t)))
+        lpad = halo * hop
+        need = ((n_chunks - 1) * chunk_frames + poly_num_blocks(ext, frame_size, hop) + 1) * hop
+        samples = jnp.pad(
+            samples, ((0, 0), (lpad, max(need - (t + lpad), 0)))
+        )
+    else:
+        need = (nf_padded + 2 * halo - 1) * hop + frame_size
+        if need > t:
+            samples = jnp.pad(samples, ((0, 0), (0, need - t)))
 
     if poly:
         window = basis = None
@@ -425,23 +459,32 @@ def stft_reduce(
 
     def body(carry, chunk_idx):
         first_frame = chunk_idx * chunk_frames - halo  # may be negative
-        base = jnp.maximum(first_frame, 0)
         if poly:
+            # Left-padded sample space: padded frame index = true index +
+            # halo, so chunk c starts at padded frame c*chunk_frames (= 0 mod
+            # R). Out-of-range frames read zeros and are masked below.
             spec = polyphase_chunk_magnitudes(
-                samples, base, ext, frame_size, hop, kbins
+                samples, chunk_idx * chunk_frames, ext, frame_size, hop, kbins
+            )
+            fidx = first_frame + jnp.arange(ext)
+            fvalid = (fidx[None, :] >= 0) & (
+                fidx[None, :] < frame_counts[:, None]
             )
         else:
+            base = jnp.maximum(first_frame, 0)
             region = jax.lax.dynamic_slice(
                 samples, (0, base * hop), (b, (ext - 1) * hop + frame_size)
             )
             frames = extract_frames(region, ext, frame_size, hop)
             spec = stft_magnitude_chunk(frames, window, basis, keep_bins)
-        # Global frame indices covered by this (clamped) slice.
-        fidx = base + jnp.arange(ext)
-        fvalid = (fidx[None, :] >= 0) & (fidx[None, :] < frame_counts[:, None])
-        # Frames before the clamp point duplicate frame 0 content; mark invalid
-        # (only happens in the first chunk's halo).
-        fvalid = fvalid & (jnp.arange(ext)[None, :] >= (base - first_frame))
+            # Global frame indices covered by this (clamped) slice.
+            fidx = base + jnp.arange(ext)
+            fvalid = (fidx[None, :] >= 0) & (
+                fidx[None, :] < frame_counts[:, None]
+            )
+            # Frames before the clamp point duplicate frame 0 content; mark
+            # invalid (only happens in the first chunk's halo).
+            fvalid = fvalid & (jnp.arange(ext)[None, :] >= (base - first_frame))
         spec = jnp.where(fvalid[:, :, None], spec, 0.0)
         outs, carry = reducer(spec, fidx, fvalid, carry)
         return carry, outs

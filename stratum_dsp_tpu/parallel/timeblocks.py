@@ -276,10 +276,13 @@ def compute_bpm_spectral_features_sharded(
     hop: int,
     mesh: Mesh,
     chunk_frames: int = 512,
+    emit_stride2=None,
+    emit_onset_flux: bool = True,
 ):
     """Time-sharded ``novelty.compute_bpm_spectral_features`` (same returns)."""
     reducer, carry_init, band_names = nov.make_bpm_reducer(
-        cfg, sample_rate, frame_size
+        cfg, sample_rate, frame_size,
+        emit_stride2=emit_stride2, emit_onset_flux=emit_onset_flux,
     )
     outs, nf_padded, frame_counts = stft_reduce_sharded(
         samples, lengths, frame_size, hop, reducer, carry_init, mesh,
