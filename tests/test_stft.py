@@ -138,3 +138,64 @@ def test_mel_filterbank_shape_and_coverage():
     # no energy above fmax bin (generous slack for rounding)
     fmax_bin = int(round(8000.0 / (44100 / 2048))) + 2
     assert w[fmax_bin + 1 :, :].sum() == 0
+
+
+def test_polyphase_matches_periodic_hann_dft():
+    """The polyphase shared-block path (the TPU bf16 key-STFT fast path) must
+    reproduce the periodic-Hann windowed DFT exactly in f32, including
+    non-R-aligned ext, nonzero halo start offsets, and the 3-bin mix edge
+    bins. Exercised here directly (the backend gate keeps it off on CPU, so
+    without this test no default CI run would compile the path at all)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    B, N, H, KB = 2, 2048, 128, 300  # R = 16
+    ext, start = 53, 48  # start % R == 0 per the contract; ext arbitrary
+    need = (start + stft_mod.poly_num_blocks(ext, N, H) + 1) * H
+    x = rng.standard_normal((B, need)).astype(np.float32)
+
+    mag = np.asarray(
+        jax.jit(
+            lambda s: stft_mod.polyphase_chunk_magnitudes(
+                s, start, ext, N, H, KB, bf16=False
+            )
+        )(jnp.asarray(x))
+    )
+
+    i = np.arange(N)
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * i / N)  # periodic Hann
+    ref = np.zeros((B, ext, KB))
+    for f in range(ext):
+        fr = x[:, (start + f) * H : (start + f) * H + N].astype(np.float64) * w
+        ref[:, f] = np.abs(np.fft.rfft(fr, axis=-1)[:, :KB])
+
+    scale = np.abs(ref).max()
+    assert np.abs(mag - ref).max() < 2e-3 * max(scale, 1.0)
+
+
+def test_polyphase_stft_reduce_end_to_end():
+    """stft_reduce with polyphase forced on (halo + multi-chunk + per-track
+    lengths) vs the direct symmetric-Hann path: magnitudes agree to the
+    periodic-vs-symmetric Hann O(1/N) bound, frame validity masks identical."""
+    import os
+
+    x = kick_pattern(123.0, 4.0)
+    y = kick_pattern(97.0, 3.0)
+    samples, lengths = pad_batch([x, y])
+    frame, hop = 8192, 512
+
+    os.environ["STRATUM_FORCE_POLYPHASE"] = "1"
+    try:
+        spec_p, counts_p = collect_spec(samples, lengths, frame, hop, chunk_frames=48)
+    finally:
+        del os.environ["STRATUM_FORCE_POLYPHASE"]
+    spec_d, counts_d = collect_spec(samples, lengths, frame, hop, chunk_frames=48)
+
+    np.testing.assert_array_equal(counts_p, counts_d)
+    assert spec_p.shape[1] >= counts_p.max()
+    for b in range(2):
+        got = spec_p[b, : counts_p[b]]
+        ref = spec_d[b, : counts_d[b]]
+        # periodic vs symmetric (n-1) Hann differs by O(1/N) per sample
+        assert np.abs(got - ref).max() < 2e-2 * max(ref.max(), 1.0)
+        assert np.all(spec_p[b, counts_p[b] :] == 0.0)
