@@ -162,7 +162,15 @@ def make_bpm_reducer(
         log_prev = log_ext[:, 1:-1]
         prev = ext[:, 1:-1]
 
-        pm_full = masked.max_pool_1d(log_prev, sf_k)
+        # The frequency max filter is independent of the frame axis, so ONE
+        # maxpool over log_ext[:, :-1] serves both the stride-1 (prev =
+        # log_ext[:, 1:-1]) and stride-2 (prev2 = log_ext[:, :-2]) SuperFlux
+        # passes — halves the windowed-reduction work when emit_stride2.
+        if emit_stride2:
+            pm_ext = masked.max_pool_1d(log_ext[:, :-1], sf_k)
+            pm_full = pm_ext[:, 1:]
+        else:
+            pm_full = masked.max_pool_1d(log_prev, sf_k)
         d_full = jnp.maximum(log_cur - pm_full, 0.0)
         sf = jnp.sqrt(_band_sf_sums(log_prev, log_cur, d_full * d_full))
 
@@ -184,7 +192,7 @@ def make_bpm_reducer(
             # curves from this pass's features with zero extra STFT work
             # (multi_resolution.rs:237-239 recomputes the STFT instead).
             log_prev2 = log_ext[:, :-2]
-            pm2 = masked.max_pool_1d(log_prev2, sf_k)
+            pm2 = pm_ext[:, :-1]
             d2f = jnp.maximum(log_cur - pm2, 0.0)
             outs["superflux2"] = jnp.sqrt(_band_sf_sums(log_prev2, log_cur, d2f * d2f))
 
