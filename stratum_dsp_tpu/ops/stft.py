@@ -321,6 +321,12 @@ def polyphase_chunk_magnitudes(
     ) + jnp.einsum(
         "fe,bjek->bjfk", w2, nxt, preferred_element_type=jnp.float32
     )
+    if bf16:
+        # The mix below re-reads s at three bin offsets; storing it bf16
+        # (f32 accumulation happened inside the einsums) halves the largest
+        # HBM stream of the polyphase path. Relative rounding ~2^-9 — inside
+        # the bf16 fast path's existing contract.
+        s = s.astype(jnp.bfloat16)
     s = s.reshape(b, nt * ft, 2 * kp)[:, :ext]
     sre, sim = s[..., :kp], s[..., kp:]
 
