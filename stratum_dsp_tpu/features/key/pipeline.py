@@ -133,7 +133,7 @@ def estimate_tuning_streamed(
         x = central * in_band
         peak = jnp.max(x, axis=-1, keepdims=True)
         sel = use_frame[..., None] & (x >= peak * thr_rel) & (peak > 1e-12) & in_band
-        w = jnp.where(sel, jnp.sqrt(x), 0.0)
+        w = jnp.where(sel, jnp.sqrt(x), 0.0).astype(jnp.float32)
         outs = {
             "sin": jnp.sum(w * jnp.sin(angle), axis=-1),
             "cos": jnp.sum(w * jnp.cos(angle), axis=-1),
@@ -304,10 +304,12 @@ def extract_key_features(
                     cfg.enable_key_hpcp_whitening, cfg.key_hpcp_whitening_smooth_bins,
                     approx_peaks=cfg.key_hpcp_approx_peaks,
                 )
-            energy = jnp.sum(central * central, axis=-1)
+            ce = central.astype(jnp.float32)
+            energy = jnp.sum(ce * ce, axis=-1)
         else:
             ch = chx.frames_to_chroma(central, proj)
-            energy = jnp.sum(central * central, axis=-1)
+            ce = central.astype(jnp.float32)
+            energy = jnp.sum(ce * ce, axis=-1)
 
         ch = jnp.where(central_valid[..., None], ch, 0.0)
         energy = jnp.where(central_valid, energy, 0.0)

@@ -156,8 +156,10 @@ def make_bpm_reducer(
         prev2_frames = carry  # [B, 2, K] previous two raw magnitude frames
         b, c, k = spec.shape
         ext = jnp.concatenate([prev2_frames, spec], axis=1)  # [B, C+2, K]
-        # one log1p per frame; cur/prev/prev2 are shifted views of it
-        log_ext = jnp.log1p(jnp.maximum(ext, 0.0))
+        # one log1p per frame; cur/prev/prev2 are shifted views of it.
+        # spec may arrive bf16 (the bf16 fast path halves the materialized
+        # magnitude stream); all derived math runs f32 from here on.
+        log_ext = jnp.log1p(jnp.maximum(ext, 0.0).astype(jnp.float32))
         log_cur = log_ext[:, 2:]
         log_prev = log_ext[:, 1:-1]
         prev = ext[:, 1:-1]
@@ -174,7 +176,8 @@ def make_bpm_reducer(
         d_full = jnp.maximum(log_cur - pm_full, 0.0)
         sf = jnp.sqrt(_band_sf_sums(log_prev, log_cur, d_full * d_full))
 
-        x2 = spec * spec
+        x2 = spec.astype(jnp.float32)
+        x2 = x2 * x2
         eh = jnp.einsum(
             "bck,kj->bcj", x2, jnp.asarray(ew),
             preferred_element_type=jnp.float32,
@@ -206,10 +209,14 @@ def make_bpm_reducer(
             cur_max = ext_max[:, 2:]
             prev_max = ext_max[:, 1:-1]
             cur_n = jnp.where(
-                cur_max > EPSILON, spec / jnp.maximum(cur_max, EPSILON), 0.0
+                cur_max > EPSILON,
+                spec.astype(jnp.float32) / jnp.maximum(cur_max, EPSILON).astype(jnp.float32),
+                0.0,
             )
             prev_n = jnp.where(
-                prev_max > EPSILON, prev / jnp.maximum(prev_max, EPSILON), 0.0
+                prev_max > EPSILON,
+                prev.astype(jnp.float32) / jnp.maximum(prev_max, EPSILON).astype(jnp.float32),
+                0.0,
             )
             d = jnp.maximum(cur_n - prev_n, 0.0)
             outs["onset_sflux"] = jnp.sqrt(jnp.sum(d * d, axis=-1))
@@ -218,7 +225,16 @@ def make_bpm_reducer(
         return outs, new_carry
 
     def carry_init(b):
-        return jnp.zeros((b, 2, n_bins), jnp.float32)
+        # must match the streamed spec dtype (bf16 on the bf16 fast path:
+        # stft_magnitude_chunk emits bf16 magnitudes for a bf16 basis)
+        from ...ops.stft import DFT_MATMUL_MAX
+
+        dt = (
+            jnp.bfloat16
+            if (cfg.stft_bf16 and frame_size <= DFT_MATMUL_MAX)
+            else jnp.float32
+        )
+        return jnp.zeros((b, 2, n_bins), dt)
 
     return reducer, carry_init, [name for (name, _, _, _) in active_bands]
 

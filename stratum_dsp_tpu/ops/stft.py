@@ -180,7 +180,11 @@ def stft_magnitude_chunk(
             )
             k = basis.shape[-1] // 2
             re, im = ri[..., :k], ri[..., k:]
-            return jnp.sqrt(re * re + im * im).astype(jnp.float32)
+            # bf16 basis -> bf16 magnitudes: halves the materialized-spec
+            # stream into the chunk reducers (math there upcasts to f32);
+            # part of the bf16 fast-path rounding contract.
+            out_dt = basis.dtype if basis.dtype == jnp.bfloat16 else jnp.float32
+            return jnp.sqrt(re * re + im * im).astype(out_dt)
         cb, sb = dft_basis(n) if basis is None else basis
         if keep_bins is not None:
             cb, sb = cb[:, :keep_bins], sb[:, :keep_bins]
