@@ -58,6 +58,11 @@ def hpss_decompose(
 def percussive_energy_flux(percussive: jax.Array, frame_counts: jax.Array):
     """Per-frame percussive energy (sum |P|^2) and its HWR flux
     (hpss.rs:300-320). Returns (flux [B, F-1], n_valid [B])."""
+    # Upcast before accumulating: if a caller ever hands in a reduced-
+    # precision spectrogram, summing ~1025 bins in bf16 loses the HWR first
+    # difference of near-equal frame energies (matches the upcasts in
+    # novelty.py / key/pipeline.py).
+    percussive = percussive.astype(jnp.float32)
     energy = jnp.sum(percussive * percussive, axis=-1)  # [B, F]
     f = energy.shape[-1]
     fmask = masked.length_mask(frame_counts, f)

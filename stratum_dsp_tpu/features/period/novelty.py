@@ -225,16 +225,10 @@ def make_bpm_reducer(
         return outs, new_carry
 
     def carry_init(b):
-        # must match the streamed spec dtype (bf16 on the bf16 fast path:
-        # stft_magnitude_chunk emits bf16 magnitudes for a bf16 basis)
-        from ...ops.stft import DFT_MATMUL_MAX
-
-        dt = (
-            jnp.bfloat16
-            if (cfg.stft_bf16 and frame_size <= DFT_MATMUL_MAX)
-            else jnp.float32
-        )
-        return jnp.zeros((b, 2, n_bins), dt)
+        # must match the streamed spec dtype: every stft_reduce path (fused
+        # basis, polyphase, rfft fallback) emits f32 magnitudes — bf16 only
+        # changes internal streams, never the spec handed to reducers.
+        return jnp.zeros((b, 2, n_bins), jnp.float32)
 
     return reducer, carry_init, [name for (name, _, _, _) in active_bands]
 

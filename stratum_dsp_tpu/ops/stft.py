@@ -180,11 +180,11 @@ def stft_magnitude_chunk(
             )
             k = basis.shape[-1] // 2
             re, im = ri[..., :k], ri[..., k:]
-            # bf16 basis -> bf16 magnitudes: halves the materialized-spec
-            # stream into the chunk reducers (math there upcasts to f32);
-            # part of the bf16 fast-path rounding contract.
-            out_dt = basis.dtype if basis.dtype == jnp.bfloat16 else jnp.float32
-            return jnp.sqrt(re * re + im * im).astype(out_dt)
+            # Magnitudes are ALWAYS f32, bf16 basis or not: emitting bf16
+            # here was measured to break the pinned bf16 rounding contract
+            # (test_stft.py::test_bf16_stft_error_bound — 2.1% per-frame
+            # energy error vs the 1% bound — and ::test_bf16_pipeline_parity).
+            return jnp.sqrt(re * re + im * im).astype(jnp.float32)
         cb, sb = dft_basis(n) if basis is None else basis
         if keep_bins is not None:
             cb, sb = cb[:, :keep_bins], sb[:, :keep_bins]
@@ -328,8 +328,13 @@ def polyphase_chunk_magnitudes(
     if bf16:
         # The mix below re-reads s at three bin offsets; storing it bf16
         # (f32 accumulation happened inside the einsums) halves the largest
-        # HBM stream of the polyphase path. Relative rounding ~2^-9 — inside
-        # the bf16 fast path's existing contract.
+        # HBM stream of the polyphase path. Rounding is ~2^-9 of local |S|;
+        # where the 3-bin mix cancels (sidelobes), the RELATIVE error of the
+        # mixed output can be much larger than 2^-9 — acceptable only
+        # because downstream consumers (harmonic mask, HPCP) are driven by
+        # spectral peaks, where the mix does not cancel. Decision parity is
+        # pinned by the forced-polyphase CPU test and re-checked on real
+        # TPU by bench.py's bpm_family/key assertions.
         s = s.astype(jnp.bfloat16)
     s = s.reshape(b, nt * ft, 2 * kp)[:, :ext]
     sre, sim = s[..., :kp], s[..., kp:]
