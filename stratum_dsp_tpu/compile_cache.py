@@ -9,15 +9,44 @@ first compilation (see CLAUDE.md hard-won rules). Tests do their own setup in
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-DEFAULT_DIR = os.environ.get("STRATUM_COMPILE_CACHE", "/tmp/stratum_jax_cache")
+
+def host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU persists AOT executables compiled for the *build* machine's CPU
+    features; loading them on a host with different features warns
+    ("cpu_aot_loader ... could lead to execution errors such as SIGILL") and
+    then segfaults on execute. Sessions here migrate between hosts with
+    different AVX-512 subsets, so the cache path must be per-CPU-signature.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
-def enable(path: str = DEFAULT_DIR) -> None:
+def cache_dir() -> str:
+    base = os.environ.get("STRATUM_COMPILE_CACHE", "/tmp/stratum_jax_cache")
+    return f"{base}-{host_fingerprint()}"
+
+
+DEFAULT_DIR = cache_dir()
+
+
+def enable(path: str = "") -> None:
     """Turn on the persistent compile cache (idempotent, import-time safe)."""
     import jax
 
+    path = path or cache_dir()
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -22,8 +22,11 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
-_NATIVE_SRC = _REPO_ROOT / "native" / "stratum_audio.cpp"
-_NATIVE_LIB = _REPO_ROOT / "native" / "libstratum_audio.so"
+# STRATUM_NATIVE_DIR overrides the source/library directory for installs
+# where the package does not live inside the repo checkout.
+_NATIVE_DIR = Path(os.environ.get("STRATUM_NATIVE_DIR", _REPO_ROOT / "native"))
+_NATIVE_SRC = _NATIVE_DIR / "stratum_audio.cpp"
+_NATIVE_LIB = _NATIVE_DIR / "libstratum_audio.so"
 
 MIX_AVERAGE = 0
 MIX_DOMINANT = 1

@@ -21,8 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound on CPU. The env
 # vars (JAX_COMPILATION_CACHE_DIR etc.) are silently ignored under the axon
-# plugin — only explicit config updates take effect here.
-jax.config.update("jax_compilation_cache_dir", "/tmp/stratum_jax_cache")
+# plugin — only explicit config updates take effect here. The directory is
+# keyed by the host CPU's feature flags: XLA:CPU AOT cache entries built on
+# a host with a different AVX-512 subset SEGFAULT when executed (the
+# cpu_aot_loader warns and then hits SIGILL), and sessions migrate hosts.
+from stratum_dsp_tpu.compile_cache import cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

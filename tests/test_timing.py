@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 from stratum_dsp_tpu.analysis import analyze_batch_timed, decode_results
-from stratum_dsp_tpu.analysis.timing import stage_timings
 from stratum_dsp_tpu.config import AnalysisConfig
 from stratum_dsp_tpu.testing import kick_pattern, pad_batch
 
@@ -46,8 +45,41 @@ def test_timed_batch_stamps_processing_time(caplog):
 
 
 def test_stage_timings_monotone():
-    samples, lengths = pad_batch([kick_pattern(126.0, 3.0)])
-    t = stage_timings(samples, lengths, CFG, 44100, reps=1, perturb=False)
+    # Runs in a FRESH subprocess: compiling the six stage-prefix programs
+    # late in a long suite process segfaults inside XLA:CPU's
+    # backend_compile_and_load (deterministically at the same point, twice;
+    # the same compiles always succeed in a fresh process — and the module
+    # already carries a serialize()-crash workaround above). Subprocess
+    # isolation reproduces the standalone conditions and keeps an upstream
+    # compiler crash from killing the whole suite.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    driver = r"""
+import json, sys
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
+from stratum_dsp_tpu.analysis.timing import stage_timings
+from stratum_dsp_tpu.config import AnalysisConfig
+from stratum_dsp_tpu.testing import kick_pattern, pad_batch
+samples, lengths = pad_batch([kick_pattern(126.0, 3.0)])
+t = stage_timings(samples, lengths, AnalysisConfig(), 44100, reps=1,
+                  perturb=False)
+print("STAGE_JSON:" + json.dumps(t))
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", driver], capture_output=True, text=True,
+        timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("STAGE_JSON:")]
+    assert line, proc.stdout[-2000:]
+    t = json.loads(line[0][len("STAGE_JSON:"):])
     # cumulative prefixes: every stage adds nonnegative work (tolerate timer
     # jitter on shared CI machines)
     assert t["onsets"] > 0
