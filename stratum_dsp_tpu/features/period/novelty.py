@@ -89,16 +89,16 @@ def make_bpm_reducer(
     use_bands = cfg.enable_tempogram_band_fusion
     sf_k = max(cfg.tempogram_superflux_max_filter_bins, 1)
     use_mel = cfg.enable_tempogram_mel_novelty
+    mel_np = None
     if use_mel:
-        mel_w = jnp.asarray(
-            mel_filterbank_matrix(
-                sample_rate,
-                n_bins,
-                cfg.tempogram_mel_n_mels,
-                cfg.tempogram_mel_fmin_hz,
-                cfg.tempogram_mel_fmax_hz,
-            )
+        mel_np = mel_filterbank_matrix(
+            sample_rate,
+            n_bins,
+            cfg.tempogram_mel_n_mels,
+            cfg.tempogram_mel_fmin_hz,
+            cfg.tempogram_mel_fmax_hz,
         )
+        mel_w = jnp.asarray(mel_np)
 
     active_bands = bands if use_bands else bands[:1]
     bin_weights = jnp.arange(n_bins, dtype=jnp.float32)
@@ -151,6 +151,45 @@ def make_bpm_reducer(
                 extra = extra + jnp.sum(d * d, axis=-1)
             cols[i] = cols[i] + extra
         return jnp.stack(cols, axis=-1)
+
+    # Fused Pallas path (OPT-IN, off by default): computes the whole
+    # per-chunk feature set — log1p, frequency max filter, both stride
+    # SuperFluxes, band/mel/HFC sums, onset flux — in one VMEM pass per
+    # frame tile (see ops/novelty_pallas.py). Measured on a real v5e chip
+    # it LOSES ~3% end-to-end vs the XLA reducer (70.3 -> 68.3 tracks/s,
+    # 16-rep streams): XLA already fuses this chain well, and the
+    # pallas_call boundary + HIGHEST-precision 128-col packed matmuls cost
+    # more than the saved HBM traffic (BENCH_NOTES.md round 3). Kept as an
+    # opt-in (STRATUM_FORCE_PALLAS_NOVELTY=1) with interpret-mode parity
+    # tests for future hardware where the balance may differ.
+    import os as _os
+
+    use_pallas_kernel = bool(_os.environ.get("STRATUM_FORCE_PALLAS_NOVELTY"))
+    if use_pallas_kernel:
+        from ...ops.novelty_pallas import fused_novelty_features, unpack_features
+
+        edge_bands = tuple(
+            (i, s, e) for i, (_, s, e, _) in enumerate(active_bands) if i > 0
+        )
+        interp = jax.default_backend() != "tpu"
+
+        def reducer(spec, fidx, fvalid, carry):
+            packed = fused_novelty_features(
+                spec.astype(jnp.float32), carry, sf_mask, ew, mel_np,
+                sf_k=sf_k, edge_bands=edge_bands, emit_stride2=emit_stride2,
+                emit_onset=emit_onset_flux, use_mel=use_mel,
+                interpret=interp,
+            )
+            outs = unpack_features(
+                packed, n_act, 0 if mel_np is None else mel_np.shape[1],
+                emit_stride2, emit_onset_flux, use_mel,
+            )
+            return outs, spec[:, -2:, :].astype(jnp.float32)
+
+        def carry_init(b):
+            return jnp.zeros((b, 2, n_bins), jnp.float32)
+
+        return reducer, carry_init, [name for (name, _, _, _) in active_bands]
 
     def reducer(spec, fidx, fvalid, carry):
         prev2_frames = carry  # [B, 2, K] previous two raw magnitude frames

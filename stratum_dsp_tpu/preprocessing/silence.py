@@ -113,12 +113,20 @@ def detect_and_trim(
     trim_start = jnp.minimum(trim_start, trim_end)
     new_lengths = (trim_end - trim_start).astype(jnp.int32)
 
-    def shift_one(x, s):
-        return jax.lax.dynamic_slice(x, (s,), (t,))
+    def do_shift(s):
+        def shift_one(x, st):
+            return jax.lax.dynamic_slice(x, (st,), (t,))
 
-    padded = jnp.pad(samples, ((0, 0), (0, t)))
-    shifted = jax.vmap(shift_one)(padded, trim_start.astype(jnp.int32))
-    shifted = jnp.where(masked.length_mask(new_lengths, t), shifted, 0.0)
+        padded = jnp.pad(s, ((0, 0), (0, t)))
+        out = jax.vmap(shift_one)(padded, trim_start.astype(jnp.int32))
+        return jnp.where(masked.length_mask(new_lengths, t), out, 0.0)
+
+    # The shift is a full [B, 2T] pad + per-track gather + mask (~1 GB of
+    # HBM traffic for a 3-min batch); when NO track trims (clean studio
+    # tracks, synthetic benches) the input already satisfies the contract
+    # (content at 0, zeros beyond lengths), so skip it batch-wide.
+    needs_trim = jnp.any((trim_start > 0) | (trim_end < lengths))
+    shifted = jax.lax.cond(needs_trim, do_shift, lambda s: s, samples)
 
     # Interior silence diagnostics: silent frames not part of the lead/tail runs.
     interior_silent = silent & (idx[None, :] >= first_loud[:, None]) & (

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from stratum_dsp_tpu.ops.downbeats_pallas import downbeat_mask
 from stratum_dsp_tpu.ops.viterbi_pallas import viterbi_decode, _transition_matrix
@@ -28,6 +29,45 @@ def test_downbeat_kernel_matches_scan(rng):
             if ref[i]:
                 last, any_db = t, True
         np.testing.assert_array_equal(got[bi], ref)
+
+
+@pytest.mark.parametrize("emit_stride2,emit_onset", [(True, True), (False, False)])
+def test_fused_novelty_kernel_matches_xla_reducer(rng, monkeypatch, emit_stride2, emit_onset):
+    """The fused novelty kernel (ops/novelty_pallas.py) must reproduce the
+    XLA reducer's outputs (same keys, <1e-5 relative) for the default config
+    and for the aux-pass variant (no stride-2 / no onset flux)."""
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.period import novelty as nov
+
+    cfg = AnalysisConfig()
+    sr, frame_size = 44100, cfg.frame_size
+    n_bins = frame_size // 2 + 1
+    b, c = 2, 260  # deliberately not a TILE multiple (exercises padding)
+    spec = jnp.asarray(rng.random((b, c, n_bins)).astype(np.float32) * 3.0)
+    carry0 = jnp.asarray(rng.random((b, 2, n_bins)).astype(np.float32))
+    fidx = jnp.arange(c)
+    fvalid = jnp.ones((b, c), bool)
+
+    monkeypatch.setenv("STRATUM_NO_PALLAS_NOVELTY", "1")
+    red_x, _, _ = nov.make_bpm_reducer(
+        cfg, sr, frame_size, emit_stride2=emit_stride2, emit_onset_flux=emit_onset
+    )
+    outs_x, carry_x = red_x(spec, fidx, fvalid, carry0)
+
+    monkeypatch.delenv("STRATUM_NO_PALLAS_NOVELTY")
+    monkeypatch.setenv("STRATUM_FORCE_PALLAS_NOVELTY", "1")
+    red_p, _, _ = nov.make_bpm_reducer(
+        cfg, sr, frame_size, emit_stride2=emit_stride2, emit_onset_flux=emit_onset
+    )
+    outs_p, carry_p = red_p(spec, fidx, fvalid, carry0)
+
+    assert set(outs_x) == set(outs_p)
+    for k in outs_x:
+        a, p = np.asarray(outs_x[k]), np.asarray(outs_p[k])
+        assert a.shape == p.shape, k
+        rel = np.max(np.abs(a - p)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 1e-5, (k, rel)
+    np.testing.assert_array_equal(np.asarray(carry_x), np.asarray(carry_p))
 
 
 def test_viterbi_kernel_matches_reference(rng):
