@@ -295,6 +295,23 @@ def polyphase_chunk_magnitudes(
         blocks = blocks.astype(jnp.bfloat16)
     bd = jnp.matmul(blocks, basis, preferred_element_type=jnp.float32)
 
+    # Fused stage 2 (Pallas): twiddle + box sum + Hann mix + magnitude in one
+    # VMEM pass per frame tile — C and S never spill to HBM (~2 GB/batch of
+    # intermediate streams in the XLA formulation below). A/B:
+    # STRATUM_NO_PALLAS_POLY2=1 disables, _FORCE enables off-TPU (interpret).
+    import os as _os
+
+    if not _os.environ.get("STRATUM_NO_PALLAS_POLY2") and (
+        jax.default_backend() == "tpu"
+        or _os.environ.get("STRATUM_FORCE_PALLAS_POLY2")
+    ):
+        from .polyphase_pallas import polyphase_stage2
+
+        return polyphase_stage2(
+            bd, r, ext, keep_bins,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     # per-block twiddle C = e^{-2pi i k j/R} * Bd. start % R == 0 makes the
     # class pattern j % R static: one broadcast multiply by a constant
     # [R, kp] table (no trig, no gather — XLA folds the table).
@@ -370,10 +387,12 @@ def use_polyphase(frame_size: int, hop: int, bf16: bool, keep_bins=None) -> bool
     if os.environ.get("STRATUM_NO_POLYPHASE"):
         return False
     if not bf16 or frame_size % hop or hop % 128 or (frame_size // hop) < 16:
-        # R=8 (the 2048/256 multi-res pass) measured a net LOSS end-to-end:
-        # the per-frame twiddle/3-bin-mix VPU work outweighs the 8x MXU
-        # saving at small frame sizes. Only the very-high-overlap key STFT
-        # (8192/512, R=16) wins.
+        # R=8 (the 2048/256 multi-res pass) measured a net LOSS end-to-end
+        # BOTH with the XLA stage 2 (twiddle/mix VPU work outweighs the 8x
+        # MXU saving) AND with the fused Pallas stage-2 kernel (70.8 vs
+        # 72.5 tracks/s: the box-sum matmul's useful band fraction halves
+        # and kp padding is 1152 vs 1025). Only the very-high-overlap key
+        # STFT (8192/512, R=16) wins.
         return False
     kb = frame_size // 2 + 1 if keep_bins is None else keep_bins
     if -(-(kb + 1) // 128) * 128 > frame_size:

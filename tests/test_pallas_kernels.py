@@ -70,6 +70,38 @@ def test_fused_novelty_kernel_matches_xla_reducer(rng, monkeypatch, emit_stride2
     np.testing.assert_array_equal(np.asarray(carry_x), np.asarray(carry_p))
 
 
+def test_polyphase_stage2_kernel_matches_xla(rng, monkeypatch):
+    """The fused polyphase stage-2 kernel (ops/polyphase_pallas.py) must
+    match the XLA twiddle/box-sum/mix formulation to within the bf16-S
+    rounding the XLA path applies (the kernel keeps S in f32) — ~0.4%
+    frame-normalized — and stay within the documented periodic-vs-symmetric
+    Hann contract against the direct DFT."""
+    from stratum_dsp_tpu.ops import stft
+
+    monkeypatch.setenv("STRATUM_FORCE_POLYPHASE", "1")
+    b, frame, hop, keep = 2, 8192, 512, 930
+    ext = 120  # not a tile multiple (exercises padding)
+    ebp = stft.poly_num_blocks(ext, frame, hop)
+    t = ebp * hop + frame
+    x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.3)
+
+    monkeypatch.setenv("STRATUM_NO_PALLAS_POLY2", "1")
+    ref = np.asarray(stft.polyphase_chunk_magnitudes(x, 0, ext, frame, hop, keep))
+    monkeypatch.delenv("STRATUM_NO_PALLAS_POLY2")
+    monkeypatch.setenv("STRATUM_FORCE_PALLAS_POLY2", "1")
+    got = np.asarray(stft.polyphase_chunk_magnitudes(x, 0, ext, frame, hop, keep))
+
+    assert got.shape == ref.shape
+    scale = np.max(ref, axis=-1, keepdims=True) + 1e-9
+    assert np.max(np.abs(got - ref) / scale) < 1e-2
+
+    w = stft.hann_window(frame)
+    frames = stft.extract_frames(x[:, : (ext - 1) * hop + frame], ext, frame, hop)
+    direct = np.asarray(stft.stft_magnitude_chunk(frames, w, None, keep))
+    scale2 = np.max(direct, axis=-1, keepdims=True) + 1e-9
+    assert np.max(np.abs(got - direct) / scale2) < 2e-2
+
+
 def test_viterbi_kernel_matches_reference(rng):
     b, t = 2, 128
     em = rng.uniform(0.01, 1.0, (b, t)).astype(np.float32)
