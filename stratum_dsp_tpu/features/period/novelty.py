@@ -162,9 +162,18 @@ def make_bpm_reducer(
     # more than the saved HBM traffic (BENCH_NOTES.md round 3). Kept as an
     # opt-in (STRATUM_FORCE_PALLAS_NOVELTY=1) with interpret-mode parity
     # tests for future hardware where the balance may differ.
+    # STRATUM_PALLAS_NOVELTY_AUX=1 enables it only for auxiliary passes
+    # (no stride-2 / no onset flux — the multi-res hop-256 rerun) on TPU;
+    # ALSO measured negative (68.8 vs 71.9 tracks/s) — the loss is not
+    # specific to the full-output variant.
     import os as _os
 
-    use_pallas_kernel = bool(_os.environ.get("STRATUM_FORCE_PALLAS_NOVELTY"))
+    use_pallas_kernel = bool(_os.environ.get("STRATUM_FORCE_PALLAS_NOVELTY")) or (
+        bool(_os.environ.get("STRATUM_PALLAS_NOVELTY_AUX"))
+        and not emit_stride2
+        and not emit_onset_flux
+        and jax.default_backend() == "tpu"
+    )
     if use_pallas_kernel:
         from ...ops.novelty_pallas import fused_novelty_features, unpack_features
 
