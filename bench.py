@@ -119,10 +119,19 @@ def main() -> int:
     if jax.default_backend() == "tpu":
         from stratum_dsp_tpu.ops.downbeats_pallas import downbeat_mask
         from stratum_dsp_tpu.ops.viterbi_pallas import viterbi_decode
+        from stratum_dsp_tpu.ops.polyphase_pallas import polyphase_stage2
 
         import jax.numpy as jnp_
 
         rng = np.random.default_rng(1)
+        # polyphase stage-2 kernel: TPU lowering vs interpreter on a small
+        # shape (a silent TPU-only regression would skew the key path)
+        bd = jnp_.asarray(rng.standard_normal((2, 48, 256)).astype(np.float32))
+        m_tpu = np.asarray(polyphase_stage2(bd, 16, 24, 100))
+        m_int = np.asarray(polyphase_stage2(bd, 16, 24, 100, interpret=True))
+        kernels_ok &= bool(
+            np.allclose(m_tpu, m_int, rtol=5e-3, atol=5e-3 * float(np.max(m_int)))
+        )
         emis = jnp_.asarray(rng.random((5, 96), np.float32) * 0.9 + 0.05)
         kernels_ok &= bool(
             np.array_equal(
