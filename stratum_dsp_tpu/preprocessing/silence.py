@@ -121,12 +121,22 @@ def detect_and_trim(
         out = jax.vmap(shift_one)(padded, trim_start.astype(jnp.int32))
         return jnp.where(masked.length_mask(new_lengths, t), out, 0.0)
 
-    # The shift is a full [B, 2T] pad + per-track gather + mask (~1 GB of
-    # HBM traffic for a 3-min batch); when NO track trims (clean studio
-    # tracks, synthetic benches) the input already satisfies the contract
-    # (content at 0, zeros beyond lengths), so skip it batch-wide.
-    needs_trim = jnp.any((trim_start > 0) | (trim_end < lengths))
-    shifted = jax.lax.cond(needs_trim, do_shift, lambda s: s, samples)
+    def mask_only(s):
+        return jnp.where(masked.length_mask(new_lengths, t), s, 0.0)
+
+    # The shift is a full [B, 2T] pad + per-track gather + mask (~1.5 GB of
+    # HBM traffic for a 3-min batch). Tiered batch-level conds: no track
+    # trims (clean studio tracks) -> identity; only TRAILING silence trims
+    # (tracks that end in a fade — content already starts at 0) -> one
+    # fused mask pass; any leading trim -> the full shift.
+    any_lead = jnp.any(trim_start > 0)
+    any_tail = jnp.any(trim_end < lengths)
+    shifted = jax.lax.cond(
+        any_lead,
+        do_shift,
+        lambda s: jax.lax.cond(any_tail, mask_only, lambda x: x, s),
+        samples,
+    )
 
     # Interior silence diagnostics: silent frames not part of the lead/tail runs.
     interior_silent = silent & (idx[None, :] >= first_loud[:, None]) & (
