@@ -60,7 +60,7 @@ class PipelineCaps:
     max_beats: int = 1024
     seg_beat_cap: int = 64
     max_segments: int = 48
-    chunk_frames: int = 1024
+    chunk_frames: int = 256
 
 
 def _tempogram_estimate(curves, nov_mask, n_valid, cfg, frame_rate, top_n):

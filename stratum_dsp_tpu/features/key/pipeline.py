@@ -97,7 +97,7 @@ def estimate_tuning_streamed(
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
-    chunk_frames: int = 1024,
+    chunk_frames: int = 512,
     mesh=None,
 ) -> jax.Array:
     """Streamed tuning estimation over the *conditioned* key spectrogram
@@ -161,7 +161,7 @@ def collect_hpss_mask(
     lengths: jax.Array,
     cfg: AnalysisConfig,
     sample_rate: int,
-    chunk_frames: int = 1024,
+    chunk_frames: int = 512,
     mesh=None,
 ):
     """Pass A of the key HPSS-median-mask path (extractor.rs:1369-1501):
@@ -204,7 +204,7 @@ def extract_key_features(
     sample_rate: int,
     tuning_offset=0.0,
     hpss_mask=None,
-    chunk_frames: int = 1024,
+    chunk_frames: int = 512,
     mesh=None,
 ):
     """Stream the key STFT and emit per-frame (chroma [B, F, 12],

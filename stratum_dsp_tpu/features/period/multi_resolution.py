@@ -66,7 +66,7 @@ def hop_candidates(
         # consumed only from the BASE pass — skip their reducer work here.
         feats, frame_counts, _ = nov.compute_bpm_spectral_features(
             samples, lengths, cfg, sample_rate, cfg.frame_size, hop,
-            chunk_frames=1024, emit_stride2=False, emit_onset_flux=False,
+            chunk_frames=256, emit_stride2=False, emit_onset_flux=False,
         )
     curves, nov_mask, n_valid = nov.assemble_novelty_curves(feats, frame_counts, cfg)
     frame_rate = sample_rate / hop
