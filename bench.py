@@ -36,7 +36,10 @@ def main() -> int:
     from stratum_dsp_tpu.config import AnalysisConfig
     from stratum_dsp_tpu.testing import kick_pattern_device
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # B=16 is the measured single-chip throughput knee at the round-3 chunk
+    # sizes (8 -> 88.0, 16 -> 91.9, 24 -> 92.6 tracks/s); production
+    # (analyze_batch CLI) buckets to large batches anyway.
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     # 12+ reps: throughput is measured on a pipelined stream of batches, and
     # short streams understate it ~8% (the first post-warmup dispatches
     # amortize stream startup; measured 64.1 @ reps=4 vs 70.3 @ reps=16 on

@@ -27,9 +27,12 @@ from .detector import KeyResult
 EPSILON = 1e-12
 
 # Frame-chunk element budget for the streamed key STFT: bounds the
-# [B, chunk, frame_size] frames buffer (~230 MB at the default) so large
-# batches don't OOM, while keeping chunks big enough that the scan does not
-# serialize the chip.
+# [B, chunk, frame_size] frames buffer so large batches don't OOM, while
+# keeping chunks big enough that the scan does not serialize the chip.
+# The budget doubles as the measured throughput optimum: at B=8 the best
+# key chunk is 512 (= the 60M cap is not binding), at B=16 the cap's 457
+# beats a raised-budget 512 (91.9 vs 88.5 tracks/s) — the knee follows the
+# TOTAL working set B*chunk*frame, not the chunk size alone.
 CHUNK_ELEMENT_BUDGET = 60_000_000
 
 
