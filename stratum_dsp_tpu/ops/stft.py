@@ -509,6 +509,8 @@ def stft_reduce(
             region = jax.lax.dynamic_slice(
                 samples, (0, base * hop), (b, (ext - 1) * hop + frame_size)
             )
+            # (casting the region bf16 BEFORE extraction was measured flat —
+            # XLA already fuses the matmul-input cast into the frame concat)
             frames = extract_frames(region, ext, frame_size, hop)
             spec = stft_magnitude_chunk(frames, window, basis, keep_bins)
             # Global frame indices covered by this (clamped) slice.
