@@ -106,7 +106,8 @@ def make_bpm_reducer(
         emit_stride2 = cfg.enable_tempogram_multi_resolution
 
     # Band energy/HFC as ONE [K, 2*n_bands] matmul over x^2 (differs from the
-    # sliced jnp.sum only in reduction order; HIGHEST keeps f32 products).
+    # sliced jnp.sum only in reduction order; HIGH = bf16x3 keeps ~f32-quality
+    # products at half the MXU passes of HIGHEST — 91.9 -> 93.3 tracks/s).
     ew = np.zeros((n_bins, 2 * len(active_bands)), np.float32)
     for i, (_, s, e, _) in enumerate(active_bands):
         ew[s:e, 2 * i] = 1.0
@@ -140,7 +141,7 @@ def make_bpm_reducer(
         sums = jnp.einsum(
             "bck,kj->bcj", d2_interior, jnp.asarray(sf_mask),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         cols = [sums[..., i] for i in range(n_act)]
         for i, runs in edge_runs:
@@ -229,7 +230,7 @@ def make_bpm_reducer(
         eh = jnp.einsum(
             "bck,kj->bcj", x2, jnp.asarray(ew),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )  # [B, C, 2*n_bands]: (energy, hfc) interleaved per band
         energy = eh[..., 0::2]
         hfc = eh[..., 1::2]
