@@ -32,6 +32,25 @@ CIRCLE_OF_FIFTHS = (0, 7, 2, 9, 4, 11, 6, 1, 8, 3, 10, 5)
 CIRCLE_BONUS_WEIGHT = 0.20
 
 
+# Epsilon for tie-stable argmaxes over key scores. The per-mode max
+# normalization + self-bonus make the best major and best minor key tie at
+# EXACTLY 1.2 in exact arithmetic (detector.rs:135-243), so the mode
+# decision rides entirely on the tie-break: the reference's stable
+# descending sort over a majors-then-minors table (detector.rs:244-246).
+# f32 accumulation dust on TPU (~2e-7 relative, measured) would otherwise
+# break these ties at random per platform; scores within TIE_EPS of the
+# max are treated as tied and the FIRST index wins — far below any
+# meaningful key separation (the 3rd-place score is typically >0.1 lower).
+TIE_EPS = 1e-4
+
+
+def stable_argmax(scores: jax.Array, eps: float = TIE_EPS) -> jax.Array:
+    """First index whose score is within ``eps`` of the max (platform-robust
+    realization of the reference's stable-sort tie-break)."""
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    return jnp.argmax(scores >= mx - eps, axis=-1)
+
+
 @functools.lru_cache(maxsize=1)
 def _cof_bonus_matrix() -> np.ndarray:
     """[12, 12] bonus factor between tonics: 0.20*(1-dist*0.5) for circular
@@ -63,8 +82,8 @@ def finalize_scores(scores: jax.Array) -> jax.Array:
     minor = jnp.where(do_norm, minor / jnp.maximum(max_minor, EPSILON), minor)
 
     bonus = jnp.asarray(_cof_bonus_matrix())
-    top_major_tonic = jnp.argmax(major, axis=-1)
-    top_minor_tonic = jnp.argmax(minor, axis=-1)
+    top_major_tonic = stable_argmax(major)
+    top_minor_tonic = stable_argmax(minor)
     top_major_score = jnp.max(major, axis=-1, keepdims=True)
     top_minor_score = jnp.max(minor, axis=-1, keepdims=True)
     bM = jnp.take(bonus, top_major_tonic, axis=0)  # [..., 12]
@@ -81,10 +100,11 @@ def best_key_confidence(scores: jax.Array) -> Tuple[jax.Array, jax.Array]:
     reproduces the reference's stable descending sort over a
     majors-then-minors table (detector.rs:244-246) — this matters because the
     per-mode normalization + self-bonus makes the two mode maxima tie at 1.2
-    exactly. ``argmax`` (first occurrence) is used instead of ``top_k``,
-    whose tie order is backend-dependent.
+    exactly. ``stable_argmax`` (first occurrence within TIE_EPS of the max)
+    is used instead of ``top_k``/plain argmax, whose tie behavior is
+    backend- and rounding-dust-dependent.
     """
-    key_idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    key_idx = stable_argmax(scores).astype(jnp.int32)
     best = jnp.take_along_axis(scores, key_idx[..., None], axis=-1)[..., 0]
     masked = jnp.where(jax.nn.one_hot(key_idx, scores.shape[-1], dtype=bool), -jnp.inf, scores)
     second = jnp.max(masked, axis=-1)
@@ -142,7 +162,7 @@ def mode_heuristic(
         minor = scores[..., 12:] + jnp.where(heur_ok[..., None], bonus, 0.0)
         scores = jnp.concatenate([scores[..., :12], minor], axis=-1)
 
-    best_idx = jnp.argmax(scores, axis=-1)
+    best_idx = stable_argmax(scores)
     tonic = best_idx % 12
     best_is_major = best_idx < 12
 

@@ -89,6 +89,24 @@ def test_cmajor_scale_fixture_end_to_end():
     assert float(res.confidence[0]) >= 0.0
 
 
+def test_stable_argmax_breaks_dust_ties_to_first_index():
+    """The best major and best minor key tie at EXACTLY 1.2 by construction
+    (per-mode normalization + self-bonus), so the mode decision is the
+    tie-break: first index (major) must win even when accumulation dust
+    makes the minor side epsilon-larger (measured ~2e-7 on TPU — the
+    C-major scale fixture flipped to Am through the full pipeline there
+    before scoring.stable_argmax)."""
+    scores = np.full((1, 24), 0.5, np.float32)
+    scores[0, 0] = 1.2          # C major
+    scores[0, 21] = 1.2 + 2e-7  # A minor, epsilon above (TPU-style dust)
+    idx, conf = scoring.best_key_confidence(jnp.asarray(scores))
+    assert int(idx[0]) == 0  # major wins the dust-tie
+    # a REAL separation (> TIE_EPS) must still win outright
+    scores[0, 21] = 1.2 + 5e-3
+    idx, _ = scoring.best_key_confidence(jnp.asarray(scores))
+    assert int(idx[0]) == 21
+
+
 def test_short_track_default_key():
     samples = np.zeros((1, 4096), np.float32)
     res = detect_key_batch(jnp.asarray(samples), jnp.asarray([1000]), CFG, SAMPLE_RATE)

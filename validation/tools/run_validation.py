@@ -34,6 +34,13 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
 
+# Persistent compile cache + make JAX_PLATFORMS=cpu actually mean CPU (the
+# axon TPU plugin ignores the env var; without this the harness silently
+# runs the TPU bf16 fast path when the user asked for the f32 CPU engine).
+from stratum_dsp_tpu import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 from stratum_dsp_tpu.analysis import PipelineCaps, analyze_batch, decode_results  # noqa: E402
 from stratum_dsp_tpu.analysis.debug import emit_debug_dump  # noqa: E402
 from stratum_dsp_tpu.cli.args import add_config_flags, config_from_args  # noqa: E402
