@@ -269,7 +269,44 @@ def analyze_batch_arrays(
                 "cand_selected": jnp.zeros((b, top_k), bool),
             }
 
-        mres = jax.lax.cond(jnp.any(ambiguous & tempo_ok), run_mr, skip_mr, 0)
+        esc = ambiguous & tempo_ok
+        # Escalation sub-batching: multi-res is per-track independent, so when
+        # only a few tracks are ambiguous, gather them into a fixed-capacity
+        # sub-batch before paying the hop-256 STFT+novelty pass (the dominant
+        # multi-res cost — it scales linearly in batch). Tiers B/4 and B/2
+        # keep shapes static; lax.switch picks the smallest tier that fits.
+        # The gathered pad rows (non-escalating tracks) compute real results
+        # that downstream masking (mr_used requires `ambiguous`) never uses.
+        # Disabled under a device mesh: a dynamic cross-track gather would
+        # break the tracks-axis sharding locality.
+        caps_sub = sorted({b // 4, b // 2}) if mesh is None else []
+        caps_sub = [c for c in caps_sub if 0 < c < b]
+
+        def run_mr_sub(cap):
+            def f(_):
+                order = jnp.argsort((~esc).astype(jnp.int32), stable=True)
+                idx = order[:cap]
+                take = lambda x: jnp.take(x, idx, axis=0)
+                sub_pre = (
+                    jax.tree_util.tree_map(take, precomputed)
+                    if precomputed is not None
+                    else None
+                )
+                sub = mr.multi_resolution_estimate(
+                    take(samples), take(lengths), cfg, sample_rate, sub_pre,
+                    mesh=None,
+                )
+                full = skip_mr(0)
+                return {k: full[k].at[idx].set(sub[k]) for k in full}
+
+            return f
+
+        branches = [skip_mr] + [run_mr_sub(c) for c in caps_sub] + [run_mr]
+        n_esc = jnp.sum(esc.astype(jnp.int32))
+        tier = (n_esc > 0).astype(jnp.int32)
+        for c in caps_sub:
+            tier = tier + (n_esc > c).astype(jnp.int32)
+        mres = jax.lax.switch(tier, branches, 0)
         rel = jnp.where(
             chosen_bpm > EPSILON,
             jnp.maximum(mres["bpm"] / jnp.maximum(chosen_bpm, EPSILON),

@@ -91,3 +91,27 @@ def test_camelot_roundtrip():
     for idx in range(24):
         k = Key.from_index(idx)
         assert Key.from_numerical(k.numerical()) == k
+
+
+def test_escalation_subbatch_invariance():
+    """Per-track results must not depend on batch composition.
+
+    The pipeline gathers ambiguous tracks into a fixed-capacity sub-batch
+    before the hop-256 multi-res pass (lax.switch tiers B/4, B/2, full).
+    Multi-res is per-track independent, so a track analyzed in a batch of 4
+    (where only 2 escalate and the B/2=2 tier runs) must get bit-identical
+    BPM to the same track analyzed alone (b=1 has no tiers: full path).
+    """
+    bpms = [75.0, 120.0, 128.0, 172.0]  # 75/172 hit the trap zones
+    tracks = [kick_pattern(x, 8.0) for x in bpms]
+    samples, lengths = pad_batch(tracks)
+    out = analyze_batch(samples, lengths, CFG, SAMPLE_RATE, CAPS)
+    trig = np.asarray(out["multi_res_triggered"])
+    assert trig[0] and trig[3], trig  # trap-zone tracks escalate
+    assert not trig[1] and not trig[2], trig
+    batch_bpm = np.asarray(out["bpm"])
+    for i in (0, 1, 3):
+        o1 = analyze_batch(
+            samples[i : i + 1], lengths[i : i + 1], CFG, SAMPLE_RATE, CAPS
+        )
+        assert float(o1["bpm"][0]) == pytest.approx(batch_bpm[i], abs=1e-4)
