@@ -58,8 +58,7 @@ def parse_counts(output: str):
     """Extract (passed, failed, skipped, errors) from pytest's summary line."""
     passed = failed = skipped = errors = 0
     for line in reversed(output.splitlines()):
-        if ("passed" in line or "failed" in line or "error" in line
-                or "skipped" in line) and "=" in line:
+        if re.search(r"\d+ (passed|failed|skipped|error)", line):
             for n, word in re.findall(r"(\d+) (passed|failed|skipped|error)", line):
                 if word == "passed":
                     passed = int(n)

@@ -5,3 +5,4 @@ from .pipeline import PipelineCaps, analyze_batch, analyze_batch_arrays
 from .confidence import compute_confidence
 from .decode import decode_results
 from .timing import analyze_batch_timed, stage_timings
+from .metadata import LegacyAnalysisMetadata

@@ -1,0 +1,409 @@
+"""Synthetic accuracy battery: adversarial tracks with exact ground truth.
+
+The reference's defining numbers are statistical accuracies measured offline
+on real corpora (87.7% exact +-2 BPM, 72.1% exact key —
+``/root/reference/docs/progress-reports/PHASE_1F_VALIDATION.md:213-222``,
+``/root/reference/validation/README.md:1-12``). Real music is not available
+in this environment, so this module generates a 300+ track synthetic corpus
+with *exact* ground truth that covers the failure surface the reference's
+machinery was tuned for:
+
+- tempo sweep 40-240 BPM including the 55-80 and 170-200 trap zones the
+  ambiguity gate escalates on (``/root/reference/src/lib.rs:412-459``),
+- metrical-ambiguity patterns (offbeat 8th hats, backbeat snares) that bait
+  the half/double-octave errors the fold gates exist to prevent
+  (``/root/reference/src/features/period/tempogram.rs:669-699``,
+  ``multi_resolution.rs:698-751``),
+- swing/shuffle grids and 12/8 triplet feels (the triplet-family search,
+  ``multi_resolution.rs:580-678``),
+- gentle tempo ramps (the tempo-variation path,
+  ``beat_tracking/tempo_variation.rs:47-52``),
+- noise floors and quiet/silent intros+outros (silence trim + LUFS gating,
+  ``preprocessing/{silence,normalization}.rs``),
+- all 24 keys via block/arpeggiated triad progressions, major and minor,
+  including +-30-cent detunings (the tuning-estimation path,
+  ``chroma/extractor.rs:66-170``),
+- combined drums+harmony tracks graded on BOTH axes.
+
+Every generator is deterministic (seeds derive from the track name via
+crc32), numpy-only, and returns mono float32 at 44.1 kHz.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+SAMPLE_RATE = 44100
+
+NOTE_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"]
+
+
+# ---------------------------------------------------------------------------
+# instruments
+# ---------------------------------------------------------------------------
+
+def _kick(sr: int, ms: float = 100.0, f0: float = 60.0, decay: float = 10.0) -> np.ndarray:
+    n = int(ms / 1000.0 * sr)
+    t = np.arange(n) / sr
+    return (
+        0.6 * np.sin(2 * np.pi * f0 * t)
+        + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+        + 0.1 * np.sin(2 * np.pi * 3 * f0 * t)
+    ) * np.exp(-decay * t)
+
+
+def _hat(rng: np.random.Generator, sr: int, ms: float = 25.0) -> np.ndarray:
+    n = int(ms / 1000.0 * sr)
+    noise = rng.standard_normal(n)
+    # crude highpass: first difference brightens the burst
+    noise = np.diff(noise, prepend=0.0)
+    return noise * np.exp(-np.arange(n) / (n / 5.0))
+
+
+def _snare(rng: np.random.Generator, sr: int, ms: float = 80.0) -> np.ndarray:
+    n = int(ms / 1000.0 * sr)
+    t = np.arange(n) / sr
+    body = 0.5 * np.sin(2 * np.pi * 185.0 * t)
+    noise = 0.8 * rng.standard_normal(n)
+    return (body + noise) * np.exp(-np.arange(n) / (n / 4.0))
+
+
+def _place(out: np.ndarray, start_s: float, wave: np.ndarray, gain: float, sr: int) -> None:
+    s = int(round(start_s * sr))
+    if s >= len(out) or s < 0:
+        return
+    e = min(s + len(wave), len(out))
+    out[s:e] += gain * wave[: e - s]
+
+
+# ---------------------------------------------------------------------------
+# beat grids
+# ---------------------------------------------------------------------------
+
+def steady_beats(bpm: float, duration_s: float) -> np.ndarray:
+    return np.arange(0.0, duration_s, 60.0 / bpm)
+
+
+def ramp_beats(bpm0: float, bpm1: float, duration_s: float) -> np.ndarray:
+    """Beat times under a linear tempo ramp bpm0 -> bpm1 over the track."""
+    times = [0.0]
+    while True:
+        t = times[-1]
+        bpm_t = bpm0 + (bpm1 - bpm0) * min(t / duration_s, 1.0)
+        nxt = t + 60.0 / bpm_t
+        if nxt >= duration_s:
+            break
+        times.append(nxt)
+    return np.asarray(times)
+
+
+def ramp_mean_bpm(bpm0: float, bpm1: float, duration_s: float) -> float:
+    """Ground-truth tempo of a ramp: mean beat rate over the rendered grid."""
+    b = ramp_beats(bpm0, bpm1, duration_s)
+    return 60.0 * (len(b) - 1) / (b[-1] - b[0])
+
+
+# ---------------------------------------------------------------------------
+# drum renderer
+# ---------------------------------------------------------------------------
+
+def drum_track(
+    name: str,
+    bpm: float,
+    duration_s: float,
+    pattern: str = "four_floor",
+    hats: str = "none",  # none | offbeat | eighths | swing | triplet
+    swing: float = 0.5,  # offbeat 8th position as fraction of the beat
+    ramp_to: Optional[float] = None,
+    noise_snr_db: Optional[float] = None,
+    intro: str = "none",  # none | quiet | outro | both
+    sr: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Render a drum pattern with exact tempo ground truth.
+
+    ``pattern``: four_floor (kick every beat), backbeat (kick 1/3 snare 2/4),
+    plain (kicks only, no accents). ``hats`` adds 8th-note subdivision layers
+    — ``offbeat`` is the half/double-tempo bait, ``swing`` shifts the offbeat
+    8th to ``swing`` of the beat, ``triplet`` adds 12/8 shuffle hats.
+    """
+    rng = np.random.default_rng(zlib.crc32(name.encode()) & 0x7FFFFFFF)
+    n = int(duration_s * sr)
+    out = np.zeros(n, dtype=np.float64)
+    kick = _kick(sr)
+    hat = _hat(rng, sr)
+    snare = _snare(rng, sr)
+
+    beats = (
+        ramp_beats(bpm, ramp_to, duration_s)
+        if ramp_to is not None
+        else steady_beats(bpm, duration_s)
+    )
+    for i, bt in enumerate(beats):
+        beat_len = (beats[i + 1] - bt) if i + 1 < len(beats) else 60.0 / (ramp_to or bpm)
+        in_bar = i % 4
+        accent = 1.0 if in_bar == 0 else 0.85
+        if pattern == "four_floor" or pattern == "plain":
+            _place(out, bt, kick, accent, sr)
+        elif pattern == "backbeat":
+            if in_bar in (0, 2):
+                _place(out, bt, kick, accent, sr)
+            else:
+                _place(out, bt, snare, 0.7, sr)
+        if hats == "offbeat":
+            _place(out, bt + 0.5 * beat_len, hat, 0.30, sr)
+        elif hats == "eighths":
+            _place(out, bt, hat, 0.22, sr)
+            _place(out, bt + 0.5 * beat_len, hat, 0.30, sr)
+        elif hats == "swing":
+            _place(out, bt, hat, 0.22, sr)
+            _place(out, bt + swing * beat_len, hat, 0.30, sr)
+        elif hats == "triplet":
+            _place(out, bt, hat, 0.22, sr)
+            _place(out, bt + beat_len / 3.0, hat, 0.18, sr)
+            _place(out, bt + 2.0 * beat_len / 3.0, hat, 0.30, sr)
+
+    peak = np.abs(out).max()
+    if peak > 0:
+        out /= peak
+
+    if noise_snr_db is not None:
+        sig_rms = float(np.sqrt(np.mean(out**2)))
+        noise = rng.standard_normal(n)
+        noise *= (sig_rms / 10 ** (noise_snr_db / 20.0)) / np.sqrt(np.mean(noise**2))
+        out = out + noise
+        out /= np.abs(out).max()
+
+    if intro in ("quiet", "both"):
+        sil = int(2.0 * sr)
+        quiet_end = int(6.0 * sr)
+        out[:sil] = 0.0
+        out[sil:quiet_end] *= 0.05
+    if intro in ("outro", "both"):
+        sil = int(2.0 * sr)
+        quiet_start = n - int(6.0 * sr)
+        out[quiet_start : n - sil] *= 0.05
+        out[n - sil :] = 0.0
+
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# harmonic (key) renderer
+# ---------------------------------------------------------------------------
+
+# scale-degree offsets of the triads used per mode; major I-IV-V-I covers all
+# 7 diatonic degrees, natural-minor i-iv-v-i covers all 7 including the b3/b6/
+# b7 the mode heuristic discriminates on (reference key/detector.rs:326-518)
+_MAJOR_PROG = [(0, True), (5, True), (7, True), (0, True)]  # I IV V I
+_MINOR_PROG = [(0, False), (5, False), (7, False), (0, False)]  # i iv v i
+
+
+def _note_freq(pc: int, octave: int, detune_cents: float) -> float:
+    midi = 12 * (octave + 1) + pc
+    return 440.0 * 2.0 ** ((midi - 69) / 12.0 + detune_cents / 1200.0)
+
+
+def _triad_pcs(root_pc: int, major: bool) -> Tuple[int, int, int]:
+    return (root_pc, root_pc + (4 if major else 3), root_pc + 7)
+
+
+def _tone(freq: float, dur_s: float, sr: int, n_partials: int = 6) -> np.ndarray:
+    n = int(dur_s * sr)
+    t = np.arange(n) / sr
+    w = np.zeros(n)
+    for h in range(1, n_partials + 1):
+        if freq * h > 8000.0:
+            break
+        w += np.sin(2 * np.pi * freq * h * t) / h**1.3
+    env = np.minimum(1.0, t / 0.02) * np.exp(-t / (dur_s * 0.9))
+    return w * env
+
+
+def chord_track(
+    name: str,
+    tonic: int,
+    is_major: bool,
+    duration_s: float = 24.0,
+    detune_cents: float = 0.0,
+    style: str = "block",  # block | arp
+    chord_s: float = 2.0,
+    sr: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Triad progression in the given key with exact key ground truth."""
+    del name  # deterministic without randomness
+    n = int(duration_s * sr)
+    out = np.zeros(n, dtype=np.float64)
+    prog = _MAJOR_PROG if is_major else _MINOR_PROG
+    n_chords = int(np.ceil(duration_s / chord_s))
+    for ci in range(n_chords):
+        deg, maj_triad = prog[ci % len(prog)]
+        root = (tonic + deg) % 12
+        pcs = _triad_pcs(root, maj_triad)
+        start = ci * chord_s
+        if style == "block":
+            for j, pc in enumerate(pcs):
+                octv = 3 + (1 if j and pc % 12 < pcs[0] % 12 else 0)
+                f = _note_freq(pc % 12, octv, detune_cents)
+                _place(out, start, _tone(f, chord_s, sr), 0.5, sr)
+            # doubled root an octave up anchors the tonic weighting
+            _place(out, start, _tone(_note_freq(root, 4, detune_cents), chord_s, sr), 0.3, sr)
+        else:  # arp: 8 sixteenth-ish notes per chord, up-down
+            order = [0, 1, 2, 3, 2, 1, 0, 1]
+            note_s = chord_s / 8.0
+            voices = list(pcs) + [pcs[0]]
+            octs = [3, 3, 3, 4]
+            for k, oi in enumerate(order):
+                pc = voices[oi] % 12
+                octv = octs[oi] + (1 if oi and voices[oi] % 12 < pcs[0] % 12 else 0)
+                f = _note_freq(pc, octv, detune_cents)
+                _place(out, start + k * note_s, _tone(f, note_s * 1.8, sr), 0.5, sr)
+    peak = np.abs(out).max()
+    return (out / peak).astype(np.float32) if peak > 0 else out.astype(np.float32)
+
+
+def combined_track(
+    name: str,
+    bpm: float,
+    tonic: int,
+    is_major: bool,
+    duration_s: float = 30.0,
+    sr: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Drums + chord progression: graded on both BPM and key."""
+    drums = drum_track(name, bpm, duration_s, pattern="four_floor", hats="offbeat", sr=sr)
+    chords = chord_track(name, tonic, is_major, duration_s, chord_s=2 * 60.0 / bpm, sr=sr)
+    m = min(len(drums), len(chords))
+    out = 0.6 * drums[:m].astype(np.float64) + 0.5 * chords[:m].astype(np.float64)
+    return (out / np.abs(out).max()).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# the battery manifest
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrackSpec:
+    name: str
+    family: str
+    gt_bpm: Optional[float]
+    gt_key: Optional[str]  # "C#m" style, parse_key-compatible
+    duration_s: float
+    kind: str  # drum | chord | combined
+    params: Dict = field(default_factory=dict)
+
+    def synthesize(self, sr: int = SAMPLE_RATE) -> np.ndarray:
+        if self.kind == "drum":
+            return drum_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
+        if self.kind == "chord":
+            return chord_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
+        if self.kind == "combined":
+            return combined_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
+        raise ValueError(self.kind)
+
+
+def _key_name(tonic: int, is_major: bool) -> str:
+    return NOTE_NAMES[tonic] + ("" if is_major else "m")
+
+
+def battery_specs() -> List[TrackSpec]:
+    """The full battery: ~330 tracks, exact GT, deterministic."""
+    specs: List[TrackSpec] = []
+
+    def drum(name, family, bpm, dur=30.0, gt=None, **kw):
+        specs.append(TrackSpec(name, family, gt if gt is not None else bpm,
+                               None, dur, "drum", dict(bpm=bpm, **kw)))
+
+    # --- tempo sweep A: four-on-floor with offbeat hats (house archetype,
+    # the double-tempo bait) across the full 40-240 range incl. trap zones
+    sweep_a = [42, 48, 55, 58, 60, 63, 66, 70, 74, 78, 80, 84, 88, 92, 96,
+               100, 105, 110, 115, 120, 124, 128, 132, 136, 140, 145, 150,
+               155, 160, 165, 170, 174, 178, 182, 186, 190, 195, 200, 210,
+               220, 230, 240]
+    for b in sweep_a:
+        drum(f"sweepA_{b:g}bpm_offbeat", "sweep_offbeat", float(b), hats="offbeat")
+
+    # --- tempo sweep B: backbeat (kick 1/3, snare 2/4, straight 8th hats)
+    sweep_b = [50, 60, 70, 75, 80, 85, 90, 95, 100, 110, 120, 126, 130, 140,
+               150, 160, 170, 175, 180, 190, 200, 215, 225, 235]
+    for b in sweep_b:
+        drum(f"sweepB_{b:g}bpm_backbeat", "sweep_backbeat", float(b),
+             pattern="backbeat", hats="eighths")
+
+    # --- plain kicks, no subdivision layers (the round-1 bench family)
+    plain = [40, 45, 55, 65, 75, 85, 95, 115, 125, 135, 155, 175, 185, 205, 225, 240]
+    for b in plain:
+        drum(f"plain_{b:g}bpm", "plain_kick", float(b), pattern="plain")
+
+    # --- fractional tempos (Echonest-style non-integer GTs)
+    for b in [63.7, 87.3, 113.6, 127.5, 139.2, 151.8, 171.4, 191.9]:
+        drum(f"frac_{b}bpm", "fractional", b, hats="offbeat")
+
+    # --- swing/shuffle grids
+    for ratio in (0.55, 0.60, 0.66):
+        for b in (70, 90, 110, 130, 170):
+            drum(f"swing{int(ratio*100)}_{b}bpm", "swing", float(b),
+                 hats="swing", swing=ratio)
+
+    # --- 12/8 triplet feel
+    for b in (60, 80, 100, 120, 140, 160, 180):
+        drum(f"triplet_{b}bpm", "triplet", float(b), hats="triplet")
+
+    # --- gentle tempo ramps (<=5%): GT = mean beat rate
+    ramps = [(117, 123), (87, 93), (132, 126), (68, 72), (166, 174),
+             (97, 103), (146, 154), (198, 202), (77, 83), (122, 118)]
+    for b0, b1 in ramps:
+        gt = ramp_mean_bpm(b0, b1, 30.0)
+        drum(f"ramp_{b0}to{b1}", "tempo_ramp", float(b0), gt=gt,
+             ramp_to=float(b1), hats="eighths")
+
+    # --- noise floors at 10 / 0 dB SNR
+    for snr in (10.0, 0.0):
+        for b in (60, 75, 90, 120, 140, 170, 190):
+            drum(f"noise{int(snr)}dB_{b}bpm", "noise", float(b),
+                 hats="offbeat", noise_snr_db=snr)
+
+    # --- quiet/silent intros & outros (silence trim + LUFS gating)
+    for mode in ("quiet", "outro", "both"):
+        for b in (70, 100, 128, 175):
+            drum(f"intro_{mode}_{b}bpm", "quiet_edges", float(b), dur=34.0,
+                 hats="eighths", intro=mode)
+
+    # --- all 24 keys x {block, arp} progressions
+    for tonic in range(12):
+        for is_major in (True, False):
+            kn = _key_name(tonic, is_major)
+            for style in ("block", "arp"):
+                specs.append(TrackSpec(
+                    f"key_{kn.replace('#', 's')}_{style}", "key_clean", None, kn,
+                    24.0, "chord", dict(tonic=tonic, is_major=is_major, style=style)))
+
+    # --- all 24 keys detuned +-30 cents (tuning-estimation path)
+    for tonic in range(12):
+        for is_major in (True, False):
+            kn = _key_name(tonic, is_major)
+            for cents in (30.0, -30.0):
+                tag = "p30" if cents > 0 else "m30"
+                specs.append(TrackSpec(
+                    f"key_{kn.replace('#', 's')}_{tag}", "key_detuned", None, kn,
+                    24.0, "chord",
+                    dict(tonic=tonic, is_major=is_major, style="block",
+                         detune_cents=cents)))
+
+    # --- combined drums+harmony: both GTs on one track
+    tempos = [88, 96, 104, 112, 120, 128, 136, 144]
+    for i in range(12):
+        for j, is_major in enumerate((True, False)):
+            tonic = i
+            bpm = float(tempos[(2 * i + j) % len(tempos)])
+            kn = _key_name(tonic, is_major)
+            specs.append(TrackSpec(
+                f"combo_{kn.replace('#', 's')}_{bpm:g}bpm", "combined", bpm, kn,
+                30.0, "combined", dict(bpm=bpm, tonic=tonic, is_major=is_major)))
+
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate battery track names"
+    return specs

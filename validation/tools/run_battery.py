@@ -1,0 +1,191 @@
+"""Synthetic accuracy battery driver.
+
+Synthesizes the ~300-track adversarial battery (``testing/battery.py``) to
+WAVs with an exact ground-truth CSV, runs it through the standard validation
+runner (``run_validation.py`` — the same path real corpora take, mirroring
+the reference's offline harness ``/root/reference/validation/tools/
+run_validation.py``), and reports overall + per-family exact +-2 BPM / MAE /
+exact-key accuracy. This produces the repo's accuracy evidence analogous to
+the reference's 87.7% +-2 BPM / 72.1% key production numbers
+(``/root/reference/docs/progress-reports/PHASE_1F_VALIDATION.md:213-222``).
+
+Usage:
+    python -m validation.tools.run_battery [--json ACCURACY.json]
+        [--families sweep_offbeat key_clean ...] [--limit N]
+        [--batch-size 16] [-- <analysis flags>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
+
+from stratum_dsp_tpu.testing.battery import SAMPLE_RATE, battery_specs  # noqa: E402
+from validation._keys import keys_equal, parse_key  # noqa: E402
+from validation.tools import run_validation  # noqa: E402
+
+DEFAULT_WAV_DIR = Path(__file__).resolve().parent.parent / "battery_wavs"
+DEFAULT_RESULTS = Path(__file__).resolve().parent.parent / "results" / "battery_results.csv"
+
+
+def write_wav(path: Path, samples: np.ndarray, sr: int = SAMPLE_RATE) -> None:
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def synthesize_corpus(specs, wav_dir: Path, force: bool = False) -> None:
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    n_new = 0
+    for spec in specs:
+        path = wav_dir / f"{spec.name}.wav"
+        if path.exists() and not force:
+            continue
+        write_wav(path, spec.synthesize())
+        n_new += 1
+    if n_new:
+        print(f"synthesized {n_new} battery WAVs -> {wav_dir}", file=sys.stderr)
+
+
+def write_batch_csv(specs, wav_dir: Path, csv_path: Path) -> None:
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file", "bpm", "key", "family"])
+        for spec in specs:
+            w.writerow([
+                str(wav_dir / f"{spec.name}.wav"),
+                f"{spec.gt_bpm:.4f}" if spec.gt_bpm is not None else "",
+                spec.gt_key or "",
+                spec.family,
+            ])
+
+
+def _acc(hits: int, n: int):
+    return round(hits / n, 4) if n else None
+
+
+def score_by_family(specs, results_csv: Path) -> dict:
+    recs = {}
+    with open(results_csv, newline="") as f:
+        for rec in csv.DictReader(f):
+            if rec.get("file"):
+                recs[Path(rec["file"]).stem] = rec
+
+    fams: dict = {}
+    overall = dict(n=0, analyzed=0, n_bpm=0, hit2=0, hit5=0, errs=[],
+                   n_key=0, key_hits=0)
+    worst_bpm, worst_key = [], []
+    for spec in specs:
+        fam = fams.setdefault(spec.family, dict(
+            n=0, analyzed=0, n_bpm=0, hit2=0, hit5=0, errs=[], n_key=0, key_hits=0))
+        fam["n"] += 1
+        overall["n"] += 1
+        rec = recs.get(spec.name)
+        if rec is None or rec.get("error"):
+            continue
+        fam["analyzed"] += 1
+        overall["analyzed"] += 1
+        if spec.gt_bpm is not None and rec.get("bpm"):
+            d = abs(float(rec["bpm"]) - spec.gt_bpm)
+            for s in (fam, overall):
+                s["n_bpm"] += 1
+                s["hit2"] += d <= 2.0
+                s["hit5"] += d <= 5.0
+                s["errs"].append(d)
+            if d > 2.0:
+                worst_bpm.append((d, spec.name, spec.gt_bpm, float(rec["bpm"])))
+        if spec.gt_key and rec.get("key"):
+            ok = keys_equal(parse_key(rec["key"]), parse_key(spec.gt_key))
+            for s in (fam, overall):
+                s["n_key"] += 1
+                s["key_hits"] += ok
+            if not ok:
+                worst_key.append((spec.name, spec.gt_key, rec["key"]))
+
+    def fmt(s):
+        out = {"n": s["n"], "analyzed": s["analyzed"]}
+        if s["n_bpm"]:
+            out.update(
+                bpm_acc_2=_acc(s["hit2"], s["n_bpm"]),
+                bpm_acc_5=_acc(s["hit5"], s["n_bpm"]),
+                bpm_mae=round(float(np.mean(s["errs"])), 3),
+                n_bpm=s["n_bpm"],
+            )
+        if s["n_key"]:
+            out.update(key_acc=_acc(s["key_hits"], s["n_key"]), n_key=s["n_key"])
+        return out
+
+    worst_bpm.sort(reverse=True)
+    return {
+        "overall": fmt(overall),
+        "families": {f: fmt(s) for f, s in sorted(fams.items())},
+        "bpm_misses": [
+            {"name": n, "gt": g, "pred": p, "err": round(d, 2)}
+            for d, n, g, p in worst_bpm
+        ],
+        "key_misses": [
+            {"name": n, "gt": g, "pred": p} for n, g, p in sorted(worst_key)
+        ],
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wav-dir", default=str(DEFAULT_WAV_DIR))
+    p.add_argument("--out", default=str(DEFAULT_RESULTS))
+    p.add_argument("--json", default=None, help="write the summary JSON here")
+    p.add_argument("--families", nargs="*", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--force-synth", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--score-only", action="store_true",
+                   help="skip analysis; re-score an existing --out CSV")
+    args, extra = p.parse_known_args(argv)
+    if extra and extra[0] == "--":
+        extra = extra[1:]
+
+    specs = battery_specs()
+    if args.families:
+        specs = [s for s in specs if s.family in set(args.families)]
+    if args.limit:
+        specs = specs[: args.limit]
+    print(f"battery: {len(specs)} tracks, "
+          f"{len({s.family for s in specs})} families", file=sys.stderr)
+
+    wav_dir = Path(args.wav_dir)
+    synthesize_corpus(specs, wav_dir, force=args.force_synth)
+    batch_csv = wav_dir / "battery.csv"
+    write_batch_csv(specs, wav_dir, batch_csv)
+
+    results_csv = Path(args.out)
+    results_csv.parent.mkdir(parents=True, exist_ok=True)
+    if not args.score_only:
+        rv_args = [str(batch_csv), "--out", str(results_csv),
+                   "--batch-size", str(args.batch_size)]
+        if args.resume:
+            rv_args.append("--resume")
+        run_validation.main(rv_args + extra)
+
+    summary = score_by_family(specs, results_csv)
+    print(json.dumps(summary, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"wrote {args.json}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,7 +49,7 @@ from validation._id3 import read_tag_bpm_key  # noqa: E402
 from validation._keys import keys_equal, parse_key  # noqa: E402
 
 SR = 44100
-BUCKETS = (60.0, 120.0, 240.0, 420.0)
+BUCKETS = (36.0, 60.0, 120.0, 240.0, 420.0)
 
 RESULT_FIELDS = [
     "file", "error", "bpm", "bpm_confidence", "key", "key_confidence",
@@ -156,6 +156,9 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="skip tracks already present in --out")
+    p.add_argument("--no-pad-batches", dest="pad_batches", action="store_false",
+                   help="don't zero-pad partial sub-batches to --batch-size "
+                        "(padding bounds jit shapes to one per bucket)")
     p.add_argument("--emit-candidates", action="store_true")
     add_config_flags(p)
     args = p.parse_args(argv)
@@ -211,8 +214,12 @@ def main(argv=None) -> int:
                 continue
             sub.setdefault(bucket_for(len(samples)), []).append(j)
         for bucket_len, js in sorted(sub.items()):
-            batch = np.zeros((len(js), bucket_len), np.float32)
-            lengths = np.zeros((len(js),), np.int32)
+            # pad partial sub-batches with zero-length dummy tracks so each
+            # bucket compiles exactly ONE (batch_size, bucket_len) program;
+            # the pipeline zero-masks lengths==0 (pipeline.py track_ok)
+            nb = args.batch_size if args.pad_batches else len(js)
+            batch = np.zeros((nb, bucket_len), np.float32)
+            lengths = np.zeros((nb,), np.int32)
             for k, j in enumerate(js):
                 x = decoded[j][0][:bucket_len]
                 batch[k, : len(x)] = x
