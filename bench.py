@@ -50,7 +50,11 @@ def main() -> int:
     caps = PipelineCaps()
 
     t = int(TRACK_SECONDS * SR)
-    bpms = np.linspace(80.0, 175.0, batch)
+    # seeds stay below the >=170 fold-down region (tempogram.rs:669-699,
+    # multi_resolution.rs:698-724) so EXACT +-2 accuracy is the right bar
+    # here; trap-zone behavior is measured by the accuracy battery instead
+    # (validation/tools/run_battery.py).
+    bpms = np.linspace(80.0, 168.0, batch)
     # synthesize ON DEVICE: the tunnel's host->device path runs at ~8 MB/s,
     # so shipping the [B, 7.9M] batch would dominate bench startup
     sj = jax.jit(lambda x: kick_pattern_device(x, TRACK_SECONDS))(
@@ -64,6 +68,23 @@ def main() -> int:
     # warmup / compile
     out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
     jax.block_until_ready(out)
+
+    # XLA's own cost model for the compiled program: model FLOPs + HBM
+    # traffic, for MFU / roofline reporting (anchors perf claims to hardware
+    # peak, not just the Rust baseline).
+    cost_flops = cost_bytes = None
+    try:
+        cost = (
+            fn.lower(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        cost_flops = float(cost.get("flops", 0.0)) or None
+        cost_bytes = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
 
     # Each rep must see a NEVER-BEFORE-RUN input value: the axon tunnel
     # content-caches (executable, input) results server-side, so re-running
@@ -152,27 +173,40 @@ def main() -> int:
             )
         )
 
-    # sanity: BPM should be near the seeded values
+    # sanity: BPM should be EXACTLY the seeded values (+-2); family-tolerant
+    # accuracy is also reported for trend continuity with earlier rounds
     got = np.asarray(out["bpm"])
     err = np.abs(got - bpms)
+    exact_accuracy = float(np.mean(err <= 2.0))
     fam_ok = np.minimum.reduce([err, np.abs(got - 2 * bpms), np.abs(got - 0.5 * bpms)])
     accuracy = float(np.mean(fam_ok < 2.0))
 
-    print(
-        json.dumps(
-            {
-                "metric": "tracks_per_sec_per_chip",
-                "value": round(per_chip, 3),
-                "unit": "3min-tracks/s",
-                "vs_baseline": round(per_chip / BASELINE_TRACKS_PER_SEC, 3),
-                "batch": batch,
-                "devices": n_dev,
-                "batch_seconds": round(dt, 3),
-                "bpm_family_accuracy": accuracy,
-                "pallas_kernels_ok": kernels_ok,
-            }
-        )
-    )
+    rec = {
+        "metric": "tracks_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "3min-tracks/s",
+        "vs_baseline": round(per_chip / BASELINE_TRACKS_PER_SEC, 3),
+        "batch": batch,
+        "devices": n_dev,
+        "batch_seconds": round(dt, 3),
+        "bpm_exact_accuracy": exact_accuracy,
+        "bpm_family_accuracy": accuracy,
+        "pallas_kernels_ok": kernels_ok,
+    }
+    if cost_flops:
+        # v5e peak: 197 TFLOP/s bf16 / 98.5 f32 (MXU); HBM ~819 GB/s.
+        # The pipeline's matmuls run bf16 on TPU (stft_bf16), so bf16 peak
+        # is the MFU denominator; the roofline ratio says which wall the
+        # program is on (>1: HBM-bound at peak BW).
+        PEAK_BF16 = 197e12
+        PEAK_HBM = 819e9
+        model_tflops = cost_flops / dt / 1e12
+        rec["model_flops_per_batch"] = cost_flops
+        rec["mfu_bf16_peak"] = round(model_tflops * 1e12 / PEAK_BF16, 4)
+        if cost_bytes:
+            rec["hbm_gb_per_batch"] = round(cost_bytes / 1e9, 2)
+            rec["hbm_bw_util"] = round(cost_bytes / dt / PEAK_HBM, 4)
+    print(json.dumps(rec))
     return 0
 
 

@@ -137,6 +137,15 @@ def drum_track(
     hat = _hat(rng, sr)
     snare = _snare(rng, sr)
 
+    open_hat = _hat(rng, sr, ms=90.0)
+
+    def vel(base: float) -> float:
+        # deterministic velocity humanization: perfectly identical hits give
+        # the novelty ACF equal peaks at every lag multiple, which makes
+        # half/double-tempo support artificially perfect (real music never
+        # is); +-8% velocity variation restores realistic octave evidence
+        return base * float(1.0 + 0.08 * rng.uniform(-1.0, 1.0))
+
     beats = (
         ramp_beats(bpm, ramp_to, duration_s)
         if ramp_to is not None
@@ -147,24 +156,26 @@ def drum_track(
         in_bar = i % 4
         accent = 1.0 if in_bar == 0 else 0.85
         if pattern == "four_floor" or pattern == "plain":
-            _place(out, bt, kick, accent, sr)
+            _place(out, bt, kick, vel(accent), sr)
         elif pattern == "backbeat":
             if in_bar in (0, 2):
-                _place(out, bt, kick, accent, sr)
+                _place(out, bt, kick, vel(accent), sr)
             else:
-                _place(out, bt, snare, 0.7, sr)
+                _place(out, bt, snare, vel(0.7), sr)
+        if pattern != "plain" and in_bar == 0 and (i // 4) % 4 == 0:
+            _place(out, bt, open_hat, 0.2, sr)  # bar-group marker
         if hats == "offbeat":
-            _place(out, bt + 0.5 * beat_len, hat, 0.30, sr)
+            _place(out, bt + 0.5 * beat_len, hat, vel(0.30), sr)
         elif hats == "eighths":
-            _place(out, bt, hat, 0.22, sr)
-            _place(out, bt + 0.5 * beat_len, hat, 0.30, sr)
+            _place(out, bt, hat, vel(0.30), sr)
+            _place(out, bt + 0.5 * beat_len, hat, vel(0.20), sr)
         elif hats == "swing":
-            _place(out, bt, hat, 0.22, sr)
-            _place(out, bt + swing * beat_len, hat, 0.30, sr)
+            _place(out, bt, hat, vel(0.30), sr)
+            _place(out, bt + swing * beat_len, hat, vel(0.22), sr)
         elif hats == "triplet":
-            _place(out, bt, hat, 0.22, sr)
-            _place(out, bt + beat_len / 3.0, hat, 0.18, sr)
-            _place(out, bt + 2.0 * beat_len / 3.0, hat, 0.30, sr)
+            _place(out, bt, hat, vel(0.28), sr)
+            _place(out, bt + beat_len / 3.0, hat, vel(0.16), sr)
+            _place(out, bt + 2.0 * beat_len / 3.0, hat, vel(0.22), sr)
 
     peak = np.abs(out).max()
     if peak > 0:
@@ -195,11 +206,25 @@ def drum_track(
 # harmonic (key) renderer
 # ---------------------------------------------------------------------------
 
-# scale-degree offsets of the triads used per mode; major I-IV-V-I covers all
-# 7 diatonic degrees, natural-minor i-iv-v-i covers all 7 including the b3/b6/
-# b7 the mode heuristic discriminates on (reference key/detector.rs:326-518)
-_MAJOR_PROG = [(0, True), (5, True), (7, True), (0, True)]  # I IV V I
-_MINOR_PROG = [(0, False), (5, False), (7, False), (0, False)]  # i iv v i
+# (degree, chord-is-major, gain) triads, two alternating sections per mode
+# (verse/chorus, as real song forms have). Tonal practice: the tonic chord
+# carries the most weight (played first, louder); minor section B uses the
+# harmonic-minor MAJOR dominant (raised leading tone) — the b3/b6/leading-
+# tone structure the mode heuristic and KK minor profile key on (reference
+# key/detector.rs:326-518). Section variety matters for the detector's
+# default segment-voting path: with the reference's per-mode max
+# normalization the top key of EACH mode scores exactly 1.2 per segment, so
+# a key only separates from its relative/parallel rival when the rival
+# mode's argmax rotates across segments — which section changes provide
+# (and uniform progressions, like a bare i-iv-v loop, do not).
+_MAJOR_SECTIONS = [
+    [(0, True, 1.1), (5, True, 0.85), (0, True, 1.0), (7, True, 0.9)],  # I IV I V
+    [(0, True, 1.1), (9, False, 0.8), (5, True, 0.85), (7, True, 0.9)],  # I vi IV V
+]
+_MINOR_SECTIONS = [
+    [(0, False, 1.1), (8, True, 0.85), (3, True, 0.85), (10, True, 0.9)],  # i VI III VII
+    [(0, False, 1.1), (5, False, 0.85), (0, False, 1.0), (7, True, 0.9)],  # i iv i V
+]
 
 
 def _note_freq(pc: int, octave: int, detune_cents: float) -> float:
@@ -227,20 +252,23 @@ def chord_track(
     name: str,
     tonic: int,
     is_major: bool,
-    duration_s: float = 24.0,
+    duration_s: float = 32.0,
     detune_cents: float = 0.0,
     style: str = "block",  # block | arp
-    chord_s: float = 2.0,
+    chord_s: float = 1.0,
     sr: int = SAMPLE_RATE,
 ) -> np.ndarray:
     """Triad progression in the given key with exact key ground truth."""
     del name  # deterministic without randomness
     n = int(duration_s * sr)
     out = np.zeros(n, dtype=np.float64)
-    prog = _MAJOR_PROG if is_major else _MINOR_PROG
+    sections = _MAJOR_SECTIONS if is_major else _MINOR_SECTIONS
     n_chords = int(np.ceil(duration_s / chord_s))
     for ci in range(n_chords):
-        deg, maj_triad = prog[ci % len(prog)]
+        # four 4-chord cycles (16 s) per section — longer than a voting
+        # segment (1024 frames ~ 11.9 s) so segments see pure sections
+        prog = sections[(ci // 16) % len(sections)]
+        deg, maj_triad, gain = prog[ci % len(prog)]
         root = (tonic + deg) % 12
         pcs = _triad_pcs(root, maj_triad)
         start = ci * chord_s
@@ -248,11 +276,14 @@ def chord_track(
             for j, pc in enumerate(pcs):
                 octv = 3 + (1 if j and pc % 12 < pcs[0] % 12 else 0)
                 f = _note_freq(pc % 12, octv, detune_cents)
-                _place(out, start, _tone(f, chord_s, sr), 0.5, sr)
+                # root weighted above 3rd/5th, as a bass voicing would be
+                _place(out, start, _tone(f, chord_s, sr),
+                       gain * (0.65 if j == 0 else 0.45), sr)
             # doubled root an octave up anchors the tonic weighting
-            _place(out, start, _tone(_note_freq(root, 4, detune_cents), chord_s, sr), 0.3, sr)
-        else:  # arp: 8 sixteenth-ish notes per chord, up-down
-            order = [0, 1, 2, 3, 2, 1, 0, 1]
+            _place(out, start, _tone(_note_freq(root, 4, detune_cents), chord_s, sr),
+                   gain * 0.3, sr)
+        else:  # arp: 8 sixteenth-ish notes per chord, root-anchored up-down
+            order = [0, 1, 2, 3, 0, 2, 1, 0]
             note_s = chord_s / 8.0
             voices = list(pcs) + [pcs[0]]
             octs = [3, 3, 3, 4]
@@ -260,7 +291,8 @@ def chord_track(
                 pc = voices[oi] % 12
                 octv = octs[oi] + (1 if oi and voices[oi] % 12 < pcs[0] % 12 else 0)
                 f = _note_freq(pc, octv, detune_cents)
-                _place(out, start + k * note_s, _tone(f, note_s * 1.8, sr), 0.5, sr)
+                g = gain * (0.65 if oi in (0, 3) else 0.5)
+                _place(out, start + k * note_s, _tone(f, note_s * 1.8, sr), g, sr)
     peak = np.abs(out).max()
     return (out / peak).astype(np.float32) if peak > 0 else out.astype(np.float32)
 
@@ -273,11 +305,17 @@ def combined_track(
     duration_s: float = 30.0,
     sr: int = SAMPLE_RATE,
 ) -> np.ndarray:
-    """Drums + chord progression: graded on both BPM and key."""
+    """Drums + chord progression: graded on both BPM and key.
+
+    The harmony bed changes once per BAR and sits under the drums — a
+    2-beat harmonic rhythm at equal level makes the chord-change spectral
+    flux the strongest periodicity in the track (half the beat rate), which
+    no real DJ mix has.
+    """
     drums = drum_track(name, bpm, duration_s, pattern="four_floor", hats="offbeat", sr=sr)
-    chords = chord_track(name, tonic, is_major, duration_s, chord_s=2 * 60.0 / bpm, sr=sr)
+    chords = chord_track(name, tonic, is_major, duration_s, chord_s=4 * 60.0 / bpm, sr=sr)
     m = min(len(drums), len(chords))
-    out = 0.6 * drums[:m].astype(np.float64) + 0.5 * chords[:m].astype(np.float64)
+    out = 0.7 * drums[:m].astype(np.float64) + 0.35 * chords[:m].astype(np.float64)
     return (out / np.abs(out).max()).astype(np.float32)
 
 
@@ -379,17 +417,21 @@ def battery_specs() -> List[TrackSpec]:
             for style in ("block", "arp"):
                 specs.append(TrackSpec(
                     f"key_{kn.replace('#', 's')}_{style}", "key_clean", None, kn,
-                    24.0, "chord", dict(tonic=tonic, is_major=is_major, style=style)))
+                    32.0, "chord", dict(tonic=tonic, is_major=is_major, style=style)))
 
-    # --- all 24 keys detuned +-30 cents (tuning-estimation path)
+    # --- all 24 keys detuned (tuning-estimation path). +-10 cents is within
+    # reach of the tuning compensator (clamped at +-0.08 semitones,
+    # config.rs key_tuning_max_abs_semitones); +-30 cents is beyond it by
+    # design and measures raw soft-mapping robustness at the worst case
     for tonic in range(12):
         for is_major in (True, False):
             kn = _key_name(tonic, is_major)
-            for cents in (30.0, -30.0):
-                tag = "p30" if cents > 0 else "m30"
+            for cents, family in ((10.0, "key_detuned10"), (-10.0, "key_detuned10"),
+                                  (30.0, "key_detuned"), (-30.0, "key_detuned")):
+                tag = ("p" if cents > 0 else "m") + f"{abs(cents):g}"
                 specs.append(TrackSpec(
-                    f"key_{kn.replace('#', 's')}_{tag}", "key_detuned", None, kn,
-                    24.0, "chord",
+                    f"key_{kn.replace('#', 's')}_{tag}", family, None, kn,
+                    32.0, "chord",
                     dict(tonic=tonic, is_major=is_major, style="block",
                          detune_cents=cents)))
 

@@ -209,3 +209,172 @@ def mean_chroma(
     for frame in spec:
         acc += frame_to_chroma(frame, sample_rate, fft_size, True, sigma)
     return acc / len(spec)
+
+
+# ---------------------------------------------------------------------------
+# key detector chain (ports of templates.rs / detector.rs, float64)
+# ---------------------------------------------------------------------------
+
+# Krumhansl-Kessler 1982 C-major/C-minor profiles (templates.rs:71-78) and
+# Temperley 1999 profiles (templates.rs:149-170), as published.
+KK_C_MAJOR = (6.35, 2.23, 3.48, 2.33, 4.38, 4.09, 2.52, 5.19, 2.39, 3.66, 2.29, 2.88)
+KK_C_MINOR = (6.33, 2.68, 3.52, 5.38, 2.60, 3.53, 2.54, 4.75, 3.98, 2.69, 3.34, 3.17)
+TP_C_MAJOR = (5.0, 2.0, 3.5, 2.0, 4.5, 4.0, 2.0, 4.5, 2.0, 3.5, 1.5, 4.0)
+TP_C_MINOR = (5.0, 2.0, 3.5, 5.0, 2.0, 3.5, 2.0, 4.5, 3.5, 2.0, 4.0, 3.5)
+
+CIRCLE_OF_FIFTHS = (0, 7, 2, 9, 4, 11, 6, 1, 8, 3, 10, 5)
+
+
+def key_templates_np(template_set: str = "kk") -> np.ndarray:
+    """[24, 12] rotated + L2-normalized templates, majors then minors
+    (templates.rs:110-143)."""
+    base_maj, base_min = (
+        (KK_C_MAJOR, KK_C_MINOR) if template_set == "kk" else (TP_C_MAJOR, TP_C_MINOR)
+    )
+    out = np.zeros((24, 12))
+    for key_idx in range(12):
+        for s in range(12):
+            out[key_idx, s] = base_maj[(s + 12 - key_idx) % 12]
+            out[12 + key_idx, s] = base_min[(s + 12 - key_idx) % 12]
+    norms = np.sqrt(np.sum(out**2, axis=1, keepdims=True))
+    return out / np.maximum(norms, 1e-12)
+
+
+def key_scores_refined(
+    chroma: np.ndarray, weights: np.ndarray | None, templates: np.ndarray
+) -> np.ndarray:
+    """Weighted sum-of-dots scores, per-mode max normalization, and the
+    circle-of-fifths neighbor bonus (detector.rs:114-243). Returns [24]."""
+    w = np.ones(len(chroma)) if weights is None else np.asarray(weights, np.float64)
+    scores = (w[:, None] * np.asarray(chroma, np.float64)).sum(0) @ templates.T  # [24]
+
+    max_major = scores[:12].max(initial=0.0)
+    max_minor = scores[12:].max(initial=0.0)
+    if max_major > 1e-9 and max_minor > 1e-9:
+        scores = np.concatenate([scores[:12] / max_major, scores[12:] / max_minor])
+
+    pos = {tonic: p for p, tonic in enumerate(CIRCLE_OF_FIFTHS)}
+    refined = scores.copy()
+    for mode in (0, 1):
+        mode_scores = scores[mode * 12 : mode * 12 + 12]
+        ref_tonic = int(np.argmax(mode_scores))
+        ref_score = mode_scores[ref_tonic]
+        if ref_score <= 1e-9:
+            continue
+        for tonic in range(12):
+            d = abs(pos[tonic] - pos[ref_tonic])
+            d = min(d, 12 - d)
+            if d <= 2:
+                refined[mode * 12 + tonic] += ref_score * 0.20 * (1.0 - d * 0.5)
+    return refined
+
+
+def best_key_np(scores: np.ndarray) -> int:
+    """Reference tie-break: stable descending sort over a majors-then-minors
+    table (detector.rs:244-246) == first argmax."""
+    return int(np.argmax(scores >= scores.max()))
+
+
+def mode_heuristic_np(
+    scores: np.ndarray,
+    avg_chroma: np.ndarray,
+    wsum: float,
+    third_ratio_margin: float,
+    flip_min_score_ratio: float,
+    enable_minor_harmonic_bonus: bool,
+    minor_leading_tone_bonus_weight: float,
+):
+    """Minor leading-tone bonus + gated parallel-mode flip
+    (detector.rs:326-518). Returns (key_idx, scores')."""
+    scores = np.asarray(scores, np.float64).copy()
+    flip_ratio = float(np.clip(flip_min_score_ratio, 0.0, 1.0))
+    if wsum <= 1e-9:
+        return best_key_np(scores), scores
+    avg = np.asarray(avg_chroma, np.float64)
+    s = avg.sum()
+    if s > 1e-9:
+        avg = avg / s
+
+    if enable_minor_harmonic_bonus and minor_leading_tone_bonus_weight > 0.0:
+        w = max(minor_leading_tone_bonus_weight, 0.0)
+        for tonic in range(12):
+            lt, b7 = (tonic + 11) % 12, (tonic + 10) % 12
+            scores[12 + tonic] += wsum * w * (avg[lt] - avg[b7])
+
+    best = best_key_np(scores)
+    tonic, best_is_major = best % 12, best < 12
+    margin = max(third_ratio_margin, 0.0)
+
+    minor_score = major_score = 0.0
+    for off_min, off_maj, wdeg in ((3, 4, 2.0), (8, 9, 1.0), (10, 11, 1.0)):
+        lo, hi = avg[(tonic + off_min) % 12], avg[(tonic + off_maj) % 12]
+        d = abs(lo - hi)
+        if lo > hi * (1.0 + margin):
+            minor_score += d * wdeg
+        elif hi > lo * (1.0 + margin):
+            major_score += d * wdeg
+    total = minor_score + major_score
+    minor_pref = total > 1e-9 and minor_score > major_score * (1.0 + margin * 0.5)
+    major_pref = total > 1e-9 and major_score > minor_score * (1.0 + margin * 0.5)
+
+    chosen = best
+    if flip_ratio > 0.0:
+        maj_s, min_s = scores[tonic], scores[12 + tonic]
+        if best_is_major and minor_pref and maj_s > 0.0 and min_s >= maj_s * flip_ratio:
+            chosen = 12 + tonic
+        elif not best_is_major and major_pref and min_s > 0.0 and maj_s >= min_s * flip_ratio:
+            chosen = tonic
+    return chosen, scores
+
+
+def ensemble_scores_np(
+    chroma: np.ndarray, weights: np.ndarray | None, kk_weight: float, tp_weight: float
+) -> np.ndarray:
+    """KK + Temperley refined-score blend (detector.rs:881-976)."""
+    total = kk_weight + tp_weight
+    kk_n = kk_weight / total if total > 1e-9 else 0.5
+    tp_n = tp_weight / total if total > 1e-9 else 0.5
+    kk = key_scores_refined(chroma, weights, key_templates_np("kk"))
+    tp = key_scores_refined(chroma, weights, key_templates_np("temperley"))
+    return kk_n * kk + tp_n * tp
+
+
+# ---------------------------------------------------------------------------
+# HPSS (port of onset/hpss.rs:71-243, float64)
+# ---------------------------------------------------------------------------
+
+def _median_filter_np(x: np.ndarray, margin: int, axis: int) -> np.ndarray:
+    """Truncated-window median along ``axis`` (hpss.rs:178-243): window
+    [i-margin, i+margin] clipped to bounds; even windows average the two
+    middle values."""
+    out = np.empty_like(x)
+    n = x.shape[axis]
+    xs = np.moveaxis(x, axis, 0)
+    os = np.moveaxis(out, axis, 0)
+    for i in range(n):
+        lo, hi = max(i - margin, 0), min(i + margin + 1, n)
+        os[i] = np.median(xs[lo:hi], axis=0)
+    return out
+
+
+def hpss_decompose_np(
+    spec: np.ndarray, margin: int, iterations: int = 10
+) -> tuple[np.ndarray, np.ndarray]:
+    """Iterative median-filter HPSS with soft-mask reconstruction and the
+    1e-6 convergence early-out (hpss.rs:71-175). ``spec`` is [frames, bins]."""
+    x = np.asarray(spec, np.float64)
+    h = x.copy()
+    p = x.copy()
+    for it in range(iterations):
+        h_prev, p_prev = h, p
+        h = _median_filter_np(h, margin, axis=0)  # horizontal: across time
+        p = _median_filter_np(p, margin, axis=1)  # vertical: across frequency
+        total = h + p
+        ratio_ok = total > 1e-10
+        h = np.where(ratio_ok, x * h / np.where(ratio_ok, total, 1.0), x * 0.5)
+        p = np.where(ratio_ok, x * p / np.where(ratio_ok, total, 1.0), x * 0.5)
+        if it > 0:
+            change = max(np.abs(h - h_prev).max(), np.abs(p - p_prev).max())
+            if change < 1e-6:
+                break
+    return h, p

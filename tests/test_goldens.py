@@ -144,3 +144,81 @@ def test_golden_mean_chroma(golden):
     got = np.asarray(outs["chroma"][0, :64]).mean(axis=0)
     ref = data["mean_chroma"]
     assert snr_db(ref, got) >= 30.0, (ref, got)
+
+
+# ---------------------------------------------------------------------------
+# detector-chain goldens: mode heuristic / ensemble / HPSS (opt-in paths)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def detector_golden():
+    return np.load(os.path.join(GOLDEN_DIR, "detector.npz"))
+
+
+def test_golden_refined_scores(detector_golden):
+    from stratum_dsp_tpu.config import TemplateSet
+    from stratum_dsp_tpu.features.key import scoring
+    from stratum_dsp_tpu.features.key.templates import key_templates
+
+    d = detector_golden
+    chroma = jnp.asarray(d["chroma"])[None]  # [1, F, 12]
+    weights = jnp.asarray(d["weights"])[None]
+    for set_, ref in ((TemplateSet.KRUMHANSL_KESSLER, d["kk_refined"]),
+                      (TemplateSet.TEMPERLEY, d["tp_refined"])):
+        raw = scoring.raw_scores(chroma, weights, jnp.asarray(key_templates(set_)))
+        got = np.asarray(scoring.finalize_scores(raw)[0])
+        assert snr_db(ref, got) >= 50.0, snr_db(ref, got)
+
+
+def test_golden_mode_heuristic(detector_golden):
+    from stratum_dsp_tpu.config import TemplateSet
+    from stratum_dsp_tpu.features.key import scoring
+    from stratum_dsp_tpu.features.key.templates import key_templates
+
+    d = detector_golden
+    chroma = jnp.asarray(d["chroma"])[None]
+    weights = jnp.asarray(d["weights"])[None]
+    raw = scoring.raw_scores(chroma, weights, jnp.asarray(key_templates(TemplateSet.KRUMHANSL_KESSLER)))
+    refined = scoring.finalize_scores(raw)
+    avg = jnp.sum(chroma * weights[..., None], axis=-2)
+    wsum = jnp.sum(weights, axis=-1)
+    key_idx, _conf, scores = scoring.mode_heuristic(
+        refined, avg, wsum,
+        third_ratio_margin=0.05, flip_min_score_ratio=0.6,
+        enable_minor_harmonic_bonus=True, minor_leading_tone_bonus_weight=0.3,
+    )
+    assert int(key_idx[0]) == int(d["heur_key"])
+    assert snr_db(d["heur_scores"], np.asarray(scores[0])) >= 50.0
+
+
+def test_golden_ensemble(detector_golden):
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.key import detector
+
+    d = detector_golden
+    cfg = AnalysisConfig(enable_key_ensemble=True)
+    chroma = jnp.asarray(d["chroma"])[None]
+    weights = jnp.asarray(d["weights"])[None]
+    mask = jnp.ones(chroma.shape[:-1], jnp.float32)
+    res = detector.detect_key_ensemble(chroma, weights, mask, cfg)
+    got = np.asarray(res.scores[0])
+    ref = d["ensemble"]
+    assert snr_db(ref, got) >= 50.0, snr_db(ref, got)
+    assert int(res.key_idx[0]) == int(np.argmax(ref >= ref.max()))
+
+
+def test_golden_hpss(detector_golden):
+    from stratum_dsp_tpu.features.onset.hpss import hpss_decompose
+
+    d = detector_golden
+    spec = jnp.asarray(d["hpss_spec"])[None]  # [1, F, K]
+    fc = jnp.asarray([spec.shape[1]], jnp.int32)
+    h, p = hpss_decompose(spec, fc, int(d["hpss_margin"]))
+    # numpy port applies the reference's 1e-6 early-out; JAX runs fixed
+    # iterations — post-convergence drift is far below the SNR bar
+    assert snr_db(d["hpss_h"], np.asarray(h[0])) >= 45.0
+    assert snr_db(d["hpss_p"], np.asarray(p[0])) >= 45.0
+    # reconstruction invariant H + P == X (hpss.rs soft mask)
+    np.testing.assert_allclose(
+        np.asarray(h[0] + p[0]), d["hpss_spec"], rtol=1e-4, atol=1e-5
+    )

@@ -11,6 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from validation._keys import keys_equal, parse_key  # noqa: E402
 from validation.analysis import (  # noqa: E402
+    analyze_exemplars,
     analyze_fallback_flags,
     analyze_key_errors,
     analyze_ratio_buckets,
@@ -54,6 +55,28 @@ def test_parse_key_variants():
     assert parse_key("1A") == Key.from_numerical("1A")
     assert parse_key("") is None
     assert keys_equal(parse_key("C"), Key(0, True))
+
+
+def test_analyze_exemplars(results_csv, capsys):
+    """Worst-N + per-band + ratio buckets + TAG head-to-head sections all
+    render (reference validation/analysis/analyze_exemplars.py:43-60)."""
+    assert analyze_exemplars.main([results_csv, "--no-tags"]) == 0
+    out = capsys.readouterr().out
+    assert "worst" in out and "per GT tempo band" in out
+    # b.mp3 (gt 174, pred 87) is a 1/2x bucket in the 150-180 band
+    assert "[150-180]" in out and "1/2x=1" in out
+    # c.mp3 (gt 120, pred 180) is a 3/2x bucket in the 120-150 band
+    assert "3/2x=1" in out
+    assert "TAG head-to-head" in out and "0 tracks have TBPM" in out
+    # per-band exact accuracy lines present
+    assert "acc2=" in out
+
+
+def test_analyze_exemplars_reads_tags(results_csv, capsys, tmp_path, monkeypatch):
+    """With tag reading enabled, missing files degrade to no-tag rows."""
+    assert analyze_exemplars.main([results_csv]) == 0
+    out = capsys.readouterr().out
+    assert "0 tracks have TBPM" in out
 
 
 def test_analyze_results(results_csv, capsys):

@@ -126,9 +126,28 @@ def score_by_family(specs, results_csv: Path) -> dict:
             out.update(key_acc=_acc(s["key_hits"], s["n_key"]), n_key=s["n_key"])
         return out
 
+    # core-range subset: GT tempo inside the reference's convention zone
+    # [85, 170) — outside it the tuned fold gates intentionally prefer the
+    # metrical family inside the zone (tempogram.rs:669-699,
+    # multi_resolution.rs:698-751), so exact GT is contestable there
+    core = dict(n=0, analyzed=0, n_bpm=0, hit2=0, hit5=0, errs=[], n_key=0, key_hits=0)
+    for spec in specs:
+        rec = recs.get(spec.name)
+        if rec is None or rec.get("error") or not rec.get("bpm"):
+            continue
+        if spec.gt_bpm is not None and 85.0 <= spec.gt_bpm < 170.0:
+            d = abs(float(rec["bpm"]) - spec.gt_bpm)
+            core["n"] += 1
+            core["analyzed"] += 1
+            core["n_bpm"] += 1
+            core["hit2"] += d <= 2.0
+            core["hit5"] += d <= 5.0
+            core["errs"].append(d)
+
     worst_bpm.sort(reverse=True)
     return {
         "overall": fmt(overall),
+        "bpm_core_85_170": fmt(core),
         "families": {f: fmt(s) for f, s in sorted(fams.items())},
         "bpm_misses": [
             {"name": n, "gt": g, "pred": p, "err": round(d, 2)}
@@ -152,6 +171,9 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--score-only", action="store_true",
                    help="skip analysis; re-score an existing --out CSV")
+    p.add_argument("--tc", action="store_true",
+                   help="also run the key_detuned* families with "
+                        "--enable-key-tuning-compensation, reported as *_tc")
     args, extra = p.parse_known_args(argv)
     if extra and extra[0] == "--":
         extra = extra[1:]
@@ -179,6 +201,23 @@ def main(argv=None) -> int:
         run_validation.main(rv_args + extra)
 
     summary = score_by_family(specs, results_csv)
+
+    if args.tc:
+        # second pass: the detuned families with tuning compensation ON —
+        # the config-variant measurement of the tuning path itself
+        tc_specs = [s for s in specs if s.family.startswith("key_detuned")]
+        if tc_specs:
+            tc_csv = wav_dir / "battery_tc.csv"
+            write_batch_csv(tc_specs, wav_dir, tc_csv)
+            tc_out = results_csv.with_name(results_csv.stem + "_tc.csv")
+            run_validation.main(
+                [str(tc_csv), "--out", str(tc_out),
+                 "--batch-size", str(args.batch_size),
+                 "--enable-key-tuning-compensation", "true"] + extra)
+            tc_summary = score_by_family(tc_specs, tc_out)
+            for fam, s in tc_summary["families"].items():
+                summary["families"][fam + "_tc"] = s
+
     print(json.dumps(summary, indent=2))
     if args.json:
         with open(args.json, "w") as f:
