@@ -23,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COORD = "localhost:29671"
+COORD = f"localhost:{os.environ.get('MULTIHOST_PORT', '29671')}"
 N_PROC = 2
 LOCAL_DEVICES = 4
 

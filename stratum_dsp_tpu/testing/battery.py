@@ -46,14 +46,18 @@ NOTE_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"]
 # instruments
 # ---------------------------------------------------------------------------
 
-def _kick(sr: int, ms: float = 100.0, f0: float = 60.0, decay: float = 10.0) -> np.ndarray:
+def _kick(sr: int, ms: float = 100.0, f0: float = 55.0, decay: float = 10.0) -> np.ndarray:
+    """Pitch-swept kick (909-style): starts ~2.2x f0 and glides down. The
+    sweep matters for the KEY battery: a fixed-pitch kick stack leaves
+    stable pitch-class mass at its harmonics (120 Hz = B!), which biases
+    chroma on every combined track; a swept kick smears across bins like
+    real kicks do."""
     n = int(ms / 1000.0 * sr)
     t = np.arange(n) / sr
-    return (
-        0.6 * np.sin(2 * np.pi * f0 * t)
-        + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
-        + 0.1 * np.sin(2 * np.pi * 3 * f0 * t)
-    ) * np.exp(-decay * t)
+    tau = 0.020
+    freq = f0 * (1.0 + 1.2 * np.exp(-t / tau))
+    phase = 2 * np.pi * np.cumsum(freq) / sr
+    return (np.sin(phase) + 0.4 * np.sin(2 * phase)) * np.exp(-decay * t) / 1.4
 
 
 def _hat(rng: np.random.Generator, sr: int, ms: float = 25.0) -> np.ndarray:
@@ -218,8 +222,8 @@ def drum_track(
 # mode's argmax rotates across segments — which section changes provide
 # (and uniform progressions, like a bare i-iv-v loop, do not).
 _MAJOR_SECTIONS = [
-    [(0, True, 1.1), (5, True, 0.85), (0, True, 1.0), (7, True, 0.9)],  # I IV I V
-    [(0, True, 1.1), (9, False, 0.8), (5, True, 0.85), (7, True, 0.9)],  # I vi IV V
+    [(0, True, 1.25), (5, True, 0.8), (0, True, 1.1), (7, True, 0.8)],  # I IV I V
+    [(0, True, 1.25), (9, False, 0.75), (5, True, 0.8), (7, True, 0.8)],  # I vi IV V
 ]
 _MINOR_SECTIONS = [
     [(0, False, 1.1), (8, True, 0.85), (3, True, 0.85), (10, True, 0.9)],  # i VI III VII
@@ -256,6 +260,7 @@ def chord_track(
     detune_cents: float = 0.0,
     style: str = "block",  # block | arp
     chord_s: float = 1.0,
+    section_chords: int = 16,
     sr: int = SAMPLE_RATE,
 ) -> np.ndarray:
     """Triad progression in the given key with exact key ground truth."""
@@ -265,9 +270,10 @@ def chord_track(
     sections = _MAJOR_SECTIONS if is_major else _MINOR_SECTIONS
     n_chords = int(np.ceil(duration_s / chord_s))
     for ci in range(n_chords):
-        # four 4-chord cycles (16 s) per section — longer than a voting
-        # segment (1024 frames ~ 11.9 s) so segments see pure sections
-        prog = sections[(ci // 16) % len(sections)]
+        # default: four 4-chord cycles (16 s at 1 s chords) per section —
+        # longer than a voting segment (1024 frames ~ 11.9 s) so segments
+        # see pure sections; callers with longer chords shorten the count
+        prog = sections[(ci // section_chords) % len(sections)]
         deg, maj_triad, gain = prog[ci % len(prog)]
         root = (tonic + deg) % 12
         pcs = _triad_pcs(root, maj_triad)
@@ -313,9 +319,10 @@ def combined_track(
     no real DJ mix has.
     """
     drums = drum_track(name, bpm, duration_s, pattern="four_floor", hats="offbeat", sr=sr)
-    chords = chord_track(name, tonic, is_major, duration_s, chord_s=4 * 60.0 / bpm, sr=sr)
+    chords = chord_track(name, tonic, is_major, duration_s, chord_s=4 * 60.0 / bpm,
+                         section_chords=8, sr=sr)
     m = min(len(drums), len(chords))
-    out = 0.7 * drums[:m].astype(np.float64) + 0.35 * chords[:m].astype(np.float64)
+    out = 0.6 * drums[:m].astype(np.float64) + 0.55 * chords[:m].astype(np.float64)
     return (out / np.abs(out).max()).astype(np.float32)
 
 

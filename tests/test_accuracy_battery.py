@@ -1,0 +1,67 @@
+"""Accuracy-floor regression on a battery subset (exact, no family
+tolerance).
+
+The full 316-track battery runs on TPU via ``validation/tools/run_battery.py``
+and its results are committed as ``ACCURACY_r4.json``; this test pins a
+representative 10-track subset in-suite so an accuracy regression (a knife-
+edge threshold drifting, a fold gate flipping) fails CI, mirroring the
+reference's exact integration asserts (integration_tests.rs:47-275) at
+battery scale.
+
+Every pick is solidly inside the passing set (core tempo range, clean keys)
+— away from the documented convention edges (>=170 folds, +-30c detunes).
+"""
+
+import numpy as np
+import pytest
+
+from stratum_dsp_tpu.analysis import PipelineCaps, analyze_batch, decode_results
+from stratum_dsp_tpu.testing.battery import battery_specs
+from validation._keys import keys_equal, parse_key
+
+SR = 44100
+
+# (track name, exact gt_bpm or None, exact gt_key or None)
+SUBSET = [
+    ("plain_95bpm", 95.0, None),
+    ("sweepA_128bpm_offbeat", 128.0, None),
+    ("sweepB_120bpm_backbeat", 120.0, None),
+    ("swing60_110bpm", 110.0, None),
+    ("triplet_120bpm", 120.0, None),
+    ("noise10dB_120bpm", 120.0, None),
+    ("intro_quiet_128bpm", 128.0, None),
+    ("key_C_block", None, "C"),
+    ("key_Am_block", None, "Am"),
+    ("combo_C_88bpm", 88.0, "C"),
+]
+
+
+@pytest.fixture(scope="module")
+def battery_results():
+    specs = {s.name: s for s in battery_specs()}
+    tracks = [specs[name].synthesize() for name, _, _ in SUBSET]
+    t_max = max(len(t) for t in tracks)
+    batch = np.zeros((len(tracks), t_max), np.float32)
+    lengths = np.zeros((len(tracks),), np.int32)
+    for i, t in enumerate(tracks):
+        batch[i, : len(t)] = t
+        lengths[i] = len(t)
+    caps = PipelineCaps()
+    out = analyze_batch(batch, lengths, battery_cfg(), SR, caps)
+    return decode_results(out, SR)
+
+
+def battery_cfg():
+    from stratum_dsp_tpu.config import AnalysisConfig
+
+    return AnalysisConfig()
+
+
+@pytest.mark.parametrize("idx", range(len(SUBSET)))
+def test_battery_subset_exact(battery_results, idx):
+    name, gt_bpm, gt_key = SUBSET[idx]
+    r = battery_results[idx]
+    if gt_bpm is not None:
+        assert abs(r.bpm - gt_bpm) <= 2.0, f"{name}: bpm {r.bpm} vs {gt_bpm}"
+    if gt_key is not None:
+        assert keys_equal(r.key, parse_key(gt_key)), f"{name}: key {r.key.name()} vs {gt_key}"
