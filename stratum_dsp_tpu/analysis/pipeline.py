@@ -113,6 +113,7 @@ def analyze_batch_arrays(
         samples, _norm_meta = norm.normalize(
             samples, lengths, cfg.normalization, sample_rate,
             target_loudness_lufs=-14.0, max_headroom_db=1.0,
+            bf16=cfg.stft_bf16,
         )
     if cfg.enable_silence_trimming:
         samples, lengths, sil_info = sil.detect_and_trim(
