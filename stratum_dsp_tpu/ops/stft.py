@@ -307,8 +307,12 @@ def polyphase_chunk_magnitudes(
     ):
         from .polyphase_pallas import polyphase_stage2
 
+        # store bd bf16 between the stages: halves the largest HBM stream of
+        # the key STFT ([B, ebp, 2*KP] f32 ~ 2.3 GB/3-min batch). Rounding
+        # point moves one multiply earlier than the XLA path's bf16 C — same
+        # contract; the kernel's twiddle multiply upcasts back to f32.
         return polyphase_stage2(
-            bd, r, ext, keep_bins,
+            bd.astype(jnp.bfloat16) if bf16 else bd, r, ext, keep_bins,
             interpret=jax.default_backend() != "tpu",
         )
 
