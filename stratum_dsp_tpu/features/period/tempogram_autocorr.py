@@ -96,7 +96,14 @@ def ac_lookup_nearest(
     """
     g0 = float(grid[0])
     res = float(grid[1] - grid[0]) if len(grid) > 1 else 1.0
-    idx = jnp.clip(jnp.round((query - g0) / res).astype(jnp.int32), 0, len(grid) - 1)
+    # exact half-grid queries (every x.5 candidate from a 0.5x fold of an
+    # odd seed against the default 1-BPM grid) must resolve to the LOWER
+    # grid point: the reference's lookup keeps the FIRST nearest in
+    # ascending iteration (tempogram.rs:518-529, `d < best_d`), and
+    # jnp.round's half-to-even would pick the upper neighbor half the time
+    idx = jnp.clip(
+        jnp.ceil((query - g0) / res - 0.5).astype(jnp.int32), 0, len(grid) - 1
+    )
     grid_arr = jnp.asarray(grid)
     ok = jnp.abs(grid_arr[idx] - query) <= tol
     vals = jnp.take_along_axis(

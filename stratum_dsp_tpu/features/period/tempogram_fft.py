@@ -102,7 +102,9 @@ def fft_lookup_nearest(
     shape; returns 0 where no bin is within tol."""
     freq_res = frame_rate / fft_size
     lo_bpm = float(bpms[0]) if len(bpms) else 0.0
-    idx = jnp.round(query / (freq_res * 60.0)).astype(jnp.int32)
+    # half-grid ties resolve LOW (first-nearest in ascending iteration,
+    # tempogram.rs:518-529); see ac_lookup_nearest
+    idx = jnp.ceil(query / (freq_res * 60.0) - 0.5).astype(jnp.int32)
     lo_bin = int(round(lo_bpm / (freq_res * 60.0)))
     idx = jnp.clip(idx - lo_bin, 0, power.shape[-1] - 1)
     bin_bpm = (idx + lo_bin).astype(jnp.float32) * (freq_res * 60.0)

@@ -378,3 +378,150 @@ def hpss_decompose_np(
             if change < 1e-6:
                 break
     return h, p
+
+
+# ---------------------------------------------------------------------------
+# tempogram candidate machinery (port of tempogram.rs:465-718, float64)
+# ---------------------------------------------------------------------------
+
+FOLD_FACTORS = (1.0, 0.5, 2.0, 1.0 / 3.0, 3.0, 2.0 / 3.0, 3.0 / 2.0)
+DEDUP_TOL = 0.75
+PREFERRED_MIN, PREFERRED_MAX = 60.0, 180.0
+
+
+def _lookup_nearest_np(values: np.ndarray, grid: np.ndarray, bpm: float, tol: float) -> float:
+    """Value of the grid entry nearest ``bpm`` within ``tol``
+    (tempogram.rs lookup_nearest: nearest, NOT max-over-window)."""
+    d = np.abs(grid - bpm)
+    i = int(np.argmin(d))
+    return float(values[i]) if d[i] <= tol else 0.0
+
+
+def tempogram_estimate_np(
+    variants,
+    min_bpm: float,
+    max_bpm: float,
+    bpm_resolution: float,
+    seed_only: bool = True,
+    consensus_bonus: float = 0.0,
+    support_threshold: float = 0.25,
+    seeds_per_method: int = 8,
+):
+    """Candidate seeding -> metrical folding -> dedup -> dual-method scoring
+    -> consensus bonus -> range priors -> octave fold-down gate
+    (tempogram.rs:465-718).
+
+    ``variants``: list of dicts ``{name, w, fft_power, fft_bpms, ac_strength,
+    ac_grid}`` (full first). One deliberate adaptation, mirrored from the
+    JAX implementation with the same rationale (tempogram.py seed comment):
+    FFT seeds are taken from LOCAL MAXIMA of the power grid before top-8 —
+    on the zero-padded fine grid the raw top-8 bins would all sit on one
+    peak's lobe; the reference's coarse grid gets seed diversity for free.
+
+    Returns dict(bpm, confidence, method_agreement, scored) where ``scored``
+    is the score-descending [(bpm, score, fft_norm, ac_norm)] list.
+    """
+    full = variants[0]
+    assert full["name"] == "full"
+
+    fft_primary = float(full["fft_bpms"][int(np.argmax(full["fft_power"]))])
+    ac_primary = float(full["ac_grid"][int(np.argmax(full["ac_strength"]))])
+
+    # --- seeds: top-8 local-maxima FFT bins + top-8 AC bins per variant ---
+    seeds = []
+    for v in variants:
+        p = np.asarray(v["fft_power"], np.float64)
+        left = np.concatenate([p[:1], p[:-1]])
+        right = np.concatenate([p[1:], p[-1:]])
+        peaks = np.where((p >= left) & (p >= right), p, 0.0)
+        top = np.argsort(-peaks, kind="stable")[:seeds_per_method]
+        seeds.extend(np.asarray(v["fft_bpms"])[top].tolist())
+        a = np.asarray(v["ac_strength"], np.float64)
+        top = np.argsort(-a, kind="stable")[:seeds_per_method]
+        seeds.extend(np.asarray(v["ac_grid"])[top].tolist())
+    seeds.append(fft_primary)
+    seeds.append(ac_primary)
+
+    # --- fold + range filter + sorted 0.75-BPM dedup (rs:552-570) ---
+    cands = []
+    for s in seeds:
+        for f in FOLD_FACTORS:
+            b = s * f
+            if np.isfinite(b) and min_bpm <= b <= max_bpm:
+                cands.append(b)
+    cands.sort()
+    uniq = []
+    for b in cands:
+        if uniq and (b - uniq[-1]) < DEDUP_TOL:
+            continue
+        uniq.append(b)
+
+    # --- scoring (rs:586-653) ---
+    score_variants = [v for v in variants if v["name"] == "full"] if seed_only else variants
+    w_sum = max(sum(max(v["w"], 0.0) for v in score_variants), 1e-6)
+    ac_tol = max(bpm_resolution, 0.5)
+    scored = []
+    for b in uniq:
+        fft_acc = ac_acc = 0.0
+        for v in score_variants:
+            if v["w"] <= 0.0:
+                continue
+            fv = _lookup_nearest_np(v["fft_power"], v["fft_bpms"], b, DEDUP_TOL)
+            av = _lookup_nearest_np(v["ac_strength"], v["ac_grid"], b, ac_tol)
+            fft_acc += v["w"] * np.clip(fv / max(np.max(v["fft_power"]), 1e-12), 0.0, 1.0)
+            ac_acc += v["w"] * np.clip(av / max(np.max(v["ac_strength"]), 1e-12), 0.0, 1.0)
+        fft_norm = np.clip(fft_acc / w_sum, 0.0, 1.0)
+        ac_norm = np.clip(ac_acc / w_sum, 0.0, 1.0)
+        s = 0.55 * ac_norm + 0.45 * fft_norm
+
+        if consensus_bonus > 0.0:
+            support = 0
+            for v in variants:
+                if v["name"] == "full":
+                    continue
+                sf = np.clip(
+                    _lookup_nearest_np(v["fft_power"], v["fft_bpms"], b, DEDUP_TOL)
+                    / max(np.max(v["fft_power"]), 1e-12), 0.0, 1.0)
+                sa = np.clip(
+                    _lookup_nearest_np(v["ac_strength"], v["ac_grid"], b, ac_tol)
+                    / max(np.max(v["ac_strength"]), 1e-12), 0.0, 1.0)
+                if max(sf, sa) >= support_threshold:
+                    support += 1
+            if support >= 2:
+                s *= 1.0 + consensus_bonus * (support - 1)
+
+        if b > PREFERRED_MAX:
+            s *= 0.80
+        elif b < PREFERRED_MIN:
+            s *= 0.90
+        scored.append((b, s, fft_norm, ac_norm))
+
+    scored.sort(key=lambda c: -c[1])
+    best = scored[0]
+    second_score = scored[1][1] if len(scored) > 1 else 0.0
+
+    # --- tempo-octave fold-down gate (rs:669-699) ---
+    if best[0] > PREFERRED_MAX:
+        folded = best[0] / 2.0
+        if min_bpm <= folded <= max_bpm:
+            near = [c for c in scored if abs(c[0] - folded) < DEDUP_TOL]
+            if near:
+                fc = max(near, key=lambda c: c[1])
+                eps = 1e-6
+                ac_ratio = (best[3] + eps) / (fc[3] + eps)
+                fft_ratio = (best[2] + eps) / (fc[2] + eps)
+                if not (ac_ratio > 2.0 and fft_ratio > 2.0):
+                    best = fc
+
+    confidence = (
+        np.clip((best[1] - second_score) / best[1], 0.0, 1.0) if best[1] > 1e-12 else 0.0
+    )
+    agreement = int(fft_primary > 0.0 and abs(fft_primary - best[0]) < 2.0) + int(
+        ac_primary > 0.0 and abs(ac_primary - best[0]) < 2.0
+    )
+    return {
+        "bpm": best[0],
+        "confidence": confidence,
+        "method_agreement": agreement,
+        "scored": scored,
+    }
