@@ -525,3 +525,62 @@ def tempogram_estimate_np(
         "method_agreement": agreement,
         "scored": scored,
     }
+
+
+# ---------------------------------------------------------------------------
+# HMM beat tracker (port of beat_tracking/hmm.rs:121-441, float64)
+# ---------------------------------------------------------------------------
+
+HMM_NUM_STATES = 5
+HMM_TIMING_TOL_S = 0.05
+HMM_EMISSION_SIGMA = HMM_TIMING_TOL_S / 2.0
+
+
+def hmm_track_beats_np(onsets: np.ndarray, bpm_estimate: float):
+    """Viterbi beat tracking: 5 tempo states, 0.7/0.15 transitions, Gaussian
+    emissions on distance-to-nearest-onset, beats where emission > 0.1 with
+    confidence 0.7*emission + 0.3*alignment (hmm.rs:150-441).
+
+    Returns (beat_times, confidences, states) as float64 arrays. Note the
+    reference's emissions are state-INDEPENDENT (expected beat time is the
+    frame time for every state, hmm.rs:264-268), so the state sequence only
+    reports tempo drift; it does not move the beats.
+    """
+    onsets = np.asarray(onsets, np.float64)
+    if len(onsets) == 0 or bpm_estimate <= 0:
+        return np.zeros(0), np.zeros(0), np.zeros(0, np.int64)
+
+    trans = np.zeros((HMM_NUM_STATES, HMM_NUM_STATES))
+    for i in range(HMM_NUM_STATES):
+        for j in range(HMM_NUM_STATES):
+            d = abs(i - j)
+            trans[i, j] = 0.7 if d == 0 else (0.15 if d == 1 else 0.0)
+    trans /= trans.sum(axis=1, keepdims=True)
+
+    start, end = onsets[0], onsets[-1]
+    beat_interval = 60.0 / bpm_estimate
+    num_frames = int(np.ceil((end - start) / beat_interval)) + 1
+
+    frame_times = start + np.arange(num_frames) * beat_interval
+    dist = np.abs(frame_times[:, None] - onsets[None, :]).min(axis=1)
+    em = np.exp(-(dist**2) / (2.0 * HMM_EMISSION_SIGMA**2))  # [T]
+
+    # Viterbi forward (multiplicative, first-max-wins ties like the Rust's
+    # `prob > best_prob`)
+    vit = np.zeros((num_frames, HMM_NUM_STATES))
+    bp = np.zeros((num_frames, HMM_NUM_STATES), np.int64)
+    vit[0] = em[0] / HMM_NUM_STATES
+    for t in range(1, num_frames):
+        scores = vit[t - 1][:, None] * trans  # [prev, s]
+        bp[t] = np.argmax(scores, axis=0)  # first max wins
+        vit[t] = scores.max(axis=0) * em[t]
+
+    path = np.zeros(num_frames, np.int64)
+    path[-1] = int(np.argmax(vit[-1]))
+    for t in range(num_frames - 2, -1, -1):
+        path[t] = bp[t + 1][path[t + 1]]
+
+    is_beat = em > 0.1
+    align = np.where(dist < HMM_TIMING_TOL_S, 1.0 - dist / HMM_TIMING_TOL_S, 0.0)
+    conf = np.minimum(0.7 * em + 0.3 * align, 1.0)
+    return frame_times[is_beat], conf[is_beat], path

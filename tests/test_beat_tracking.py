@@ -129,3 +129,36 @@ def test_time_signature_few_beats_defaults_44():
     sig, conf = detect_time_signature(arr, None, jnp.asarray([3]))
     assert int(sig[0]) == 0
     assert float(conf[0]) == 0.5
+
+
+def test_hmm_parity_vs_numpy_port():
+    """JAX track_beats vs the independent float64 port of hmm.rs (beat
+    times, confidences, and the Viterbi state path)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.features.beat.hmm import track_beats
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    rng = np.random.default_rng(7)
+    bpm = 123.0
+    interval = 60.0 / bpm
+    # jittered onsets with dropouts: exercises emission gaps + state drift
+    onsets = np.arange(0.0, 20.0, interval) + rng.uniform(-0.02, 0.02, size=41)
+    onsets = np.delete(onsets, [7, 8, 23])
+    onsets = np.sort(onsets)
+
+    k = len(onsets)
+    ot = jnp.asarray(onsets[None, :], jnp.float32)
+    ov = jnp.ones((1, k), bool)
+    beats, states = track_beats(jnp.asarray([bpm], jnp.float32), ot, ov, max_beats=64)
+
+    want_t, want_c, want_path = ref.hmm_track_beats_np(onsets, bpm)
+
+    got_t = np.asarray(beats.times[0])[np.asarray(beats.valid[0])]
+    got_c = np.asarray(beats.confidence[0])[np.asarray(beats.valid[0])]
+    assert len(got_t) == len(want_t), (len(got_t), len(want_t))
+    np.testing.assert_allclose(got_t, want_t, atol=1e-4)
+    np.testing.assert_allclose(got_c, want_c, atol=1e-4)
+    got_path = np.asarray(states[0])[: len(want_path)]
+    np.testing.assert_array_equal(got_path, want_path)
