@@ -301,7 +301,10 @@ def multi_resolution_estimate(
     switch = (jnp.abs(best_bpm_h - t_bpm) > 1e-3) & (margin < margin_threshold)
     t_in_range = (t_bpm >= cfg.min_bpm) & (t_bpm <= cfg.max_bpm)
     chosen_bpm = jnp.where(switch & t_in_range, t_bpm, best_bpm_h)
-    chosen_score = jnp.where(switch & t_in_range, prior(t_bpm, h_t), best_score_h)
+    # the reference assigns the RAW h_t on fallback (rs:503-508 uses the
+    # local variable, not the prior-scaled list entry) — for T outside
+    # 60-180 that differs from prior(t, h_t); pinned by the numpy port
+    chosen_score = jnp.where(switch & t_in_range, h_t, best_score_h)
     if cfg.tempogram_multi_res_use_human_prior:
         tie = (margin < margin_threshold) & (margin < 0.05) & (chosen_bpm >= 70.0) & (
             chosen_bpm <= 180.0

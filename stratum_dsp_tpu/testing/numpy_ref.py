@@ -584,3 +584,191 @@ def hmm_track_beats_np(onsets: np.ndarray, bpm_estimate: float):
     align = np.where(dist < HMM_TIMING_TOL_S, 1.0 - dist / HMM_TIMING_TOL_S, 0.0)
     conf = np.minimum(0.7 * em + 0.3 * align, 1.0)
     return frame_times[is_beat], conf[is_beat], path
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution fusion (port of multi_resolution.rs:205-867, float64)
+# ---------------------------------------------------------------------------
+
+def beat_contrast_np(novelty: np.ndarray, sr: int, hop: int, bpm: float) -> float:
+    """Phase-optimized beat-contrast alignment (multi_resolution.rs:580-678)."""
+    novelty = np.asarray(novelty, np.float64)
+    n = len(novelty)
+    if n < 16 or not np.isfinite(bpm) or bpm <= 0:
+        return 0.0
+    fpb = 60.0 * sr / (bpm * hop)
+    if not np.isfinite(fpb) or fpb < 3.0:
+        return 0.0
+    period = int(round(fpb))
+    if not (3 <= period <= 512):
+        return 0.0
+    w = 2
+    total = max(novelty.sum(), 1e-6)
+    best = -1e9
+    for phase in range(period):
+        bs = bn = hs = hn = ts = tn = 0.0
+        i = phase
+        while i < n:
+            bs += novelty[max(i - w, 0):min(i + w + 1, n)].max()
+            bn += 1
+            if period >= 6:
+                j = i + period // 2
+                if j < n:
+                    hs += novelty[max(j - w, 0):min(j + w + 1, n)].max()
+                    hn += 1
+            if period >= 9:
+                for frac in (1, 2):
+                    j = i + (period * frac) // 3
+                    if j < n:
+                        ts += novelty[max(j - w, 0):min(j + w + 1, n)].max()
+                        tn += 1
+            i += period
+        bm = bs / bn if bn else 0.0
+        hm = hs / hn if hn else 0.0
+        tm = ts / tn if tn else 0.0
+        contrast = bm - 0.6 * hm - 0.4 * tm
+        best = max(best, float(np.clip(contrast / max(total / n, 1e-6), -10, 10)))
+    return best
+
+
+def _cand_lookup_np(cands, bpm, tol):
+    """Nearest candidate's score within tol (multi_resolution.rs:282-293)."""
+    best_d, best_s = np.inf, 0.0
+    for cb, cs in cands:
+        d = abs(cb - bpm)
+        if d <= tol and d < best_d:
+            best_d, best_s = d, cs
+    return best_s
+
+
+def multires_fuse_np(
+    c256, c512_top, c1024, novelty_512, sr: int,
+    min_bpm: float, max_bpm: float, tol: float,
+    w512: float, w256: float, w1024: float,
+    dt512: float, margin_threshold: float, use_human_prior: bool,
+):
+    """Hypothesis fusion H(T)/H(2T)/H(T/2) with structural discounts,
+    support-ratio guardrails, margin-gated switching, dedup, post-hoc
+    fold-down/up, and the triplet-family beat-contrast search
+    (multi_resolution.rs:276-867). Candidate lists are [(bpm, score)].
+
+    One note pinned here: on the margin-gated fallback to T the reference
+    assigns the PRE-prior ``h_t`` as the score (rs:503-508 uses the local
+    variable, not the prior-scaled list entry); for T outside 60-180 that
+    differs from re-applying the prior.
+    """
+    def prior(b, s):
+        if b > 210.0:
+            return s * 0.80
+        if b > 180.0:
+            return s * 0.90
+        if b < 60.0:
+            return s * 0.92
+        return s
+
+    hyps = []
+    for t_bpm, _ts in c512_top:
+        if not (np.isfinite(t_bpm) and t_bpm > 0):
+            continue
+        s_t = [_cand_lookup_np(c, t_bpm, tol) for c in (c512_top, c256, c1024)]
+        s_2t = [_cand_lookup_np(c, t_bpm * 2, tol) for c in (c512_top, c256, c1024)]
+        s_h = [_cand_lookup_np(c, t_bpm * 0.5, tol) for c in (c512_top, c256, c1024)]
+
+        h_t = w512 * s_t[0] + w256 * s_t[1] + w1024 * s_t[2]
+        h_2t = (w512 * (dt512 * s_t[0] + (1 - dt512) * s_2t[0])
+                + w256 * s_2t[1] + w1024 * s_2t[2])
+        h_half = (w512 * (dt512 * s_t[0] + (1 - dt512) * s_h[0])
+                  + w256 * s_h[1] + w1024 * s_h[2])
+        if s_t[2] > s_h[2] * 1.02:
+            h_half *= 0.90
+        if s_t[2] > s_2t[2] * 1.02:
+            h_2t *= 0.90
+        eps = 1e-6
+        r2t = (s_2t[1] + eps) / (s_t[1] + eps)
+        if r2t < 1.10:
+            h_2t *= 0.75
+        if r2t < 1.00:
+            h_2t *= 0.75
+        rh = (s_h[2] + eps) / (s_t[2] + eps)
+        if rh < 1.10:
+            h_half *= 0.75
+        if rh < 1.00:
+            h_half *= 0.75
+
+        local = [(b, s) for b, s in
+                 ((t_bpm, h_t), (t_bpm * 2, h_2t), (t_bpm * 0.5, h_half))
+                 if min_bpm <= b <= max_bpm]
+        local = [(b, prior(b, s)) for b, s in local]
+        local.sort(key=lambda x: -x[1])
+        if not local:
+            continue
+        best_b, best_s = local[0]
+        second_s = local[1][1] if len(local) > 1 else 0.0
+        margin = best_s - second_s
+        chosen_b, chosen_s = best_b, best_s
+        if abs(chosen_b - t_bpm) > 1e-3 and margin < margin_threshold:
+            chosen_b, chosen_s = t_bpm, h_t  # RAW h_t (rs:503-508)
+        if (margin < margin_threshold and use_human_prior
+                and 70.0 <= chosen_b <= 180.0 and margin < 0.05):
+            chosen_s += 0.05
+        hyps.append((chosen_b, chosen_s))
+
+    if not hyps:
+        return None
+    hyps.sort(key=lambda x: -x[1])
+    unique = []
+    for b, s in hyps:
+        if any(abs(b - ub) < 0.75 for ub, _ in unique):
+            continue
+        unique.append((b, s))
+        if len(unique) >= 8:
+            break
+    best_b, best_s = unique[0]
+
+    def total_support(bpm):
+        vals = [_cand_lookup_np(c, bpm, tol) for c in (c256, c512_top, c1024)]
+        return sum(vals), sum(v > 0 for v in vals)
+
+    # fold-down
+    if best_b >= 170.0:
+        half = best_b * 0.5
+        if 70.0 <= half <= 120.0:
+            sb, _ab = total_support(best_b)
+            sh_, ah = total_support(half)
+            if ah >= 3 and sh_ > 0 and sb > 0 and sh_ / sb >= 0.45:
+                best_b, best_s = half, sh_
+    # fold-up
+    if best_b <= 80.0:
+        dbl = best_b * 2.0
+        if 70.0 <= dbl <= 180.0:
+            sb, _ = total_support(best_b)
+            sd, ad = total_support(dbl)
+            if ad >= 2 and sd > 0 and sb > 0 and sd / sb >= 0.55:
+                best_b, best_s = dbl, sd
+
+    # triplet-family search
+    if 70.0 <= best_b <= 180.0 and len(novelty_512) > 0:
+        fams = []
+        for f in (1.0, 1.5, 2.0 / 3.0, 2.0 / 3.0, 4.0 / 3.0, 0.75):
+            b = best_b * f
+            if not (np.isfinite(b) and min_bpm <= b <= max_bpm and 70.0 <= b <= 180.0):
+                continue
+            s, a = total_support(b)
+            if a < 2 or s <= 0:
+                continue
+            fams.append((b, s, beat_contrast_np(novelty_512, sr, 512, b)))
+        if len(fams) >= 2:
+            best_support = max(max(f[1] for f in fams), 1e-6)
+            max_alt = max((f[1] / best_support for f in fams
+                           if abs(f[0] - best_b) > 0.75), default=0.0)
+            if max_alt >= 0.45:
+                chosen = max(fams, key=lambda f: f[2] + 0.35 * min(max(f[1] / best_support, 0.0), 1.0))
+                cur_align = beat_contrast_np(novelty_512, sr, 512, best_b)
+                if abs(chosen[0] - best_b) > 0.75 and chosen[2] >= cur_align + 0.40:
+                    best_b, best_s = chosen[0], chosen[1]
+
+    second = unique[1][1] if len(unique) > 1 else 0.0
+    conf = (max(best_s - second, 0.0) / best_s) if best_s > 1e-6 else 0.0
+    conf = float(np.clip(conf, 0.0, 1.0))
+    _, agree = total_support(best_b)
+    return {"bpm": best_b, "confidence": conf, "method_agreement": agree}
