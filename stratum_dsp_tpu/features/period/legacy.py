@@ -277,6 +277,11 @@ def merge_bpm_candidates(
     Returns dict with bpm [B], confidence [B], method_agreement [B] int32,
     ok [B] (any estimate exists).
     """
+    # the promotion candidate is taken from the UNCORRECTED autocorr list,
+    # BEFORE merging (mod.rs:272-275 "before merging"); using the octave-
+    # corrected list instead changes which estimate gets promoted whenever
+    # the correction rewrites ac's top in-range candidate
+    ac_orig = ac
     ac = _octave_correct(ac, comb, 50.0)
 
     # disagreement between the two top picks (candidate_filter.rs:232-240)
@@ -401,12 +406,12 @@ def merge_bpm_candidates(
     else:
         preferred_min, preferred_max = REASONABLE_MIN, REASONABLE_MAX
 
-    # prefer autocorr's top preferred-range candidate (mod.rs:314-330):
-    # first (confidence-ordered) autocorr candidate in the preferred range
-    acp_ok = ac.valid & (ac.bpm >= preferred_min) & (ac.bpm <= preferred_max)
+    # prefer autocorr's top preferred-range candidate (mod.rs:272-339):
+    # first (confidence-ordered) UNCORRECTED autocorr candidate in range
+    acp_ok = ac_orig.valid & (ac_orig.bpm >= preferred_min) & (ac_orig.bpm <= preferred_max)
     acp_idx = jnp.argmax(acp_ok, axis=-1)
     has_acp = jnp.any(acp_ok, axis=-1)
-    acp_bpm = jnp.take_along_axis(ac.bpm, acp_idx[:, None], axis=-1)[:, 0]
+    acp_bpm = jnp.take_along_axis(ac_orig.bpm, acp_idx[:, None], axis=-1)[:, 0]
     match = g_valid & (jnp.abs(g_bpm - acp_bpm[:, None]) < 2.0)
     promote = has_acp[:, None] & match
     rank_key = jnp.where(promote, rank_key + 1e6, rank_key)

@@ -772,3 +772,156 @@ def multires_fuse_np(
     conf = float(np.clip(conf, 0.0, 1.0))
     _, agree = total_support(best_b)
     return {"bpm": best_b, "confidence": conf, "method_agreement": agree}
+
+
+# ---------------------------------------------------------------------------
+# legacy candidate merge (port of candidate_filter.rs:40-440, float64)
+# ---------------------------------------------------------------------------
+
+def merge_bpm_candidates_np(autocorr, comb, octave_tolerance_cents: float = 50.0):
+    """Octave correction against comb top-3, top-10+reasonable limiting,
+    +-2 BPM running-mean grouping, agreement boost (avg+max)/2*1.2,
+    disagreement penalty, consensus boosts (1.5/1.3/1.4), 2x safety boost,
+    and the effective-confidence sort (candidate_filter.rs:40-440).
+
+    ``autocorr``/``comb``: [(bpm, confidence)] sorted by confidence desc.
+    Returns [(bpm, confidence, method_agreement)] best-first.
+    """
+    if not autocorr and not comb:
+        return []
+    tol_ratio = 2.0 ** (octave_tolerance_cents / 1200.0)
+
+    ac = [list(c) for c in autocorr]
+    comb_top3 = comb[:3]
+    for cand in ac:  # 2x errors (rs:160-185)
+        for cb, _cc in comb_top3:
+            ratio_to_target = (cand[0] / cb) / 2.0
+            if abs(ratio_to_target - 1.0) < (tol_ratio - 1.0):
+                if (60.0 <= cb <= 180.0) or cand[0] > 200.0 or cand[0] < 30.0:
+                    cand[0] = cb
+                    break
+    for cand in ac:  # 0.5x errors (rs:188-210)
+        for cb, _cc in comb_top3:
+            ratio_to_target = (cb / cand[0]) / 2.0
+            if abs(ratio_to_target - 1.0) < (tol_ratio - 1.0) and 60.0 <= cb <= 180.0:
+                cand[0] = cb
+                break
+
+    disagreement = False
+    if ac and comb:
+        d = abs(ac[0][0] - comb[0][0])
+        disagreement = 10.0 < d < 50.0
+
+    ac_lim = [tuple(c) for c in ac[:10]]
+    for c in ac:  # re-add reasonable-range candidates (rs:247-262)
+        if 60.0 <= c[0] <= 180.0 and not any(abs(g[0] - c[0]) < 1.0 for g in ac_lim):
+            ac_lim.append(tuple(c))
+    comb_lim = [tuple(c) for c in comb[:10]]
+
+    groups = []  # [mean_bpm, total_conf, count, max_conf]
+    for b, c in list(ac_lim) + list(comb_lim):
+        for g in groups:
+            if abs(b - g[0]) <= 2.0:
+                g[0] = (g[0] * g[2] + b) / (g[2] + 1)
+                g[1] += c
+                g[2] += 1
+                g[3] = max(g[3], c)
+                break
+        else:
+            groups.append([b, c, 1, c])
+
+    estimates = []
+    for bpm, total, count, mx in groups:
+        if count >= 2:
+            conf = min((total / count + mx) / 2.0 * 1.2, 1.0)
+        else:
+            conf = min(total, 1.0)
+        if disagreement and count == 1:
+            conf *= 0.7
+        estimates.append([bpm, conf, count])
+
+    ac5, cb5 = ac_lim[:5], comb_lim[:5]
+    for e in estimates:  # consensus boosts (rs:50-113)
+        ad = any(abs(a[0] - e[0]) < 2.5 for a in ac5)
+        cd = any(abs(c[0] - e[0]) < 2.5 for c in cb5)
+
+        def harm(lst):
+            out = False
+            for b, _ in lst:
+                r = max(b / e[0], e[0] / b)
+                out |= abs(r - 2.0) < 0.1 or abs(r - 1.5) < 0.1 or abs(r - 0.75) < 0.1
+            return out
+
+        if ad and cd:
+            e[1] *= 1.5
+        elif (ad and harm(cb5)) or (cd and harm(ac5)):
+            e[1] *= 1.3
+        if cd and 60.0 <= e[0] <= 180.0:
+            e[1] *= 1.4
+
+    if not any(60.0 <= e[0] <= 180.0 for e in estimates[:5]):
+        for e in estimates:
+            if 60.0 <= e[0] <= 180.0:
+                e[1] *= 2.0  # safety boost (rs:355-381)
+                break
+
+    import functools
+
+    def cmp(a, b):
+        a_in = 60.0 <= a[0] <= 180.0
+        b_in = 60.0 <= b[0] <= 180.0
+        ae = a[1] if a_in else a[1] * 0.5
+        be = b[1] if b_in else b[1] * 0.5
+        if abs(ae - be) < 0.5:
+            if a_in and not b_in:
+                return -1
+            if b_in and not a_in:
+                return 1
+        if be > ae:
+            return 1
+        if ae > be:
+            return -1
+        return -1 if a[2] > b[2] else (1 if b[2] > a[2] else 0)
+
+    estimates.sort(key=functools.cmp_to_key(cmp))
+    return [(e[0], e[1], e[2]) for e in estimates]
+
+
+def legacy_merge_top_np(
+    autocorr, comb, octave_tolerance_cents: float = 50.0,
+    guardrail_muls=None, preferred_range=(60.0, 180.0),
+):
+    """merge_bpm_candidates + the module-level selection (mod.rs:296-339):
+    optional guardrail multipliers with re-sort, then promotion of the first
+    merged estimate matching autocorr's top preferred-range candidate.
+
+    ``guardrail_muls``: None, or (ranges, muls) as
+    ((pmin, pmax, smin, smax), (mul_pref, mul_soft, mul_extreme)).
+    Returns (bpm, confidence, method_agreement) of the selected estimate,
+    or None.
+    """
+    merged = merge_bpm_candidates_np(autocorr, comb, octave_tolerance_cents)
+    if not merged:
+        return None
+    merged = [list(e) for e in merged]
+    if guardrail_muls is not None:
+        (pmin, pmax, smin, smax), (m_pref, m_soft, m_ext) = guardrail_muls
+        for e in merged:
+            if pmin <= e[0] <= pmax:
+                e[1] *= m_pref
+            elif smin <= e[0] <= smax:
+                e[1] *= m_soft
+            else:
+                e[1] *= m_ext
+        merged.sort(key=lambda e: -e[1])
+        preferred_range = (pmin, pmax)
+
+    ac_top_pref = next(
+        (b for b, _c in autocorr if preferred_range[0] <= b <= preferred_range[1]), None
+    )
+    if ac_top_pref is not None:
+        for i, e in enumerate(merged):
+            if abs(e[0] - ac_top_pref) < 2.0:
+                merged.insert(0, merged.pop(i))
+                break
+    return tuple(merged[0])

@@ -80,3 +80,61 @@ def test_guardrails_cap_extreme():
     # the 30 BPM fundamental would be outside min_bpm=40 anyway; the estimate
     # lands on a metrical relative; just assert confidence is finite and bounded
     assert 0.0 <= float(out["confidence"][0]) <= 2.0
+
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# merge parity vs the independent numpy port (candidate_filter.rs:40-440 +
+# mod.rs:296-339)
+# ---------------------------------------------------------------------------
+
+def _clist(pairs, width=12):
+    import jax.numpy as jnp
+    import numpy as np
+    from stratum_dsp_tpu.features.period.legacy import CandidateList
+
+    bpm = np.zeros((1, width), np.float32)
+    conf = np.zeros((1, width), np.float32)
+    valid = np.zeros((1, width), bool)
+    for i, (b, c) in enumerate(pairs):
+        bpm[0, i], conf[0, i], valid[0, i] = b, c, True
+    return CandidateList(jnp.asarray(bpm), jnp.asarray(conf), jnp.asarray(valid))
+
+
+MERGE_CASES = [
+    # (name, autocorr [(bpm, conf)...], comb [(bpm, conf)...], guardrails)
+    ("agree_128", [(128.0, 0.9), (64.0, 0.5)], [(127.5, 0.8), (255.0, 0.4)], False),
+    ("octave_2x", [(240.0, 0.9), (80.0, 0.3)], [(120.0, 0.8), (90.0, 0.5)], False),
+    ("octave_half", [(60.0, 0.9)], [(120.0, 0.85), (80.0, 0.2)], False),
+    ("disagree", [(100.0, 0.9)], [(130.0, 0.85)], False),
+    ("safety_boost", [(220.0, 0.9), (230.0, 0.8), (210.0, 0.7), (225.0, 0.6),
+                      (235.0, 0.55), (140.0, 0.1)], [(215.0, 0.9)], False),
+    ("promote_ac", [(95.0, 0.4), (40.0, 0.9)], [(190.0, 0.9)], False),
+    ("guardrails", [(200.0, 0.9), (100.0, 0.6)], [(201.0, 0.8)], True),
+]
+
+
+@pytest.mark.parametrize("name,ac,cb,use_guard", MERGE_CASES)
+def test_merge_parity_vs_numpy_port(name, ac, cb, use_guard):
+    import numpy as np
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.period.legacy import merge_bpm_candidates, _sane_guardrails
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    cfg = AnalysisConfig()
+    got = merge_bpm_candidates(_clist(ac), _clist(cb), cfg, use_guard)
+    assert bool(got["ok"][0])
+
+    guard = None
+    if use_guard:
+        guard = (_sane_guardrails(cfg),
+                 (cfg.legacy_bpm_conf_mul_preferred, cfg.legacy_bpm_conf_mul_soft,
+                  cfg.legacy_bpm_conf_mul_extreme))
+    want = ref.legacy_merge_top_np(ac, cb, 50.0, guardrail_muls=guard)
+    assert want is not None
+
+    assert abs(float(got["bpm"][0]) - want[0]) < 0.01, (name, float(got["bpm"][0]), want[0])
+    assert abs(float(got["confidence"][0]) - want[1]) < 1e-4, (
+        name, float(got["confidence"][0]), want[1])
+    assert int(got["method_agreement"][0]) == want[2], name
