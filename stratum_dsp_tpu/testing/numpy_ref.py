@@ -925,3 +925,85 @@ def legacy_merge_top_np(
                 merged.insert(0, merged.pop(i))
                 break
     return tuple(merged[0])
+
+
+# ---------------------------------------------------------------------------
+# onset consensus voting (port of onset/consensus.rs:111-287, exact ints)
+# ---------------------------------------------------------------------------
+
+def vote_onsets_np(method_onsets, weights, tolerance_ms: int, sample_rate: int):
+    """Greedy tolerance clustering + weighted voting, ported loop-for-loop:
+    sorted merge, join the first cluster with ANY member within tolerance,
+    integer-floor cluster centers, per-ONSET weight sums (a method firing
+    twice inside one cluster contributes its weight twice before the clamp),
+    confidence-descending output.
+
+    ``method_onsets``: list of 4 sample-position lists. Returns
+    [(center_sample, confidence, voted_by)] sorted confidence-desc.
+    """
+    tol = int(tolerance_ms / 1000.0 * sample_rate)
+    all_onsets = []
+    for m, onsets in enumerate(method_onsets):
+        for s in onsets:
+            all_onsets.append((int(s), m, weights[m]))
+    if not all_onsets:
+        return []
+    all_onsets.sort(key=lambda o: o[0])
+
+    clusters = []
+    for o in all_onsets:
+        for cl in clusters:
+            if any(abs(o[0] - e[0]) <= tol for e in cl):
+                cl.append(o)
+                break
+        else:
+            clusters.append([o])
+
+    max_weight = sum(weights)
+    out = []
+    for cl in clusters:
+        center = sum(e[0] for e in cl) // len(cl)  # integer floor division
+        total_w = sum(e[2] for e in cl)
+        voted_by = len({e[1] for e in cl})
+        conf = min(max(total_w / max_weight, 0.0), 1.0) if max_weight > 0 else 0.0
+        out.append((center, conf, voted_by))
+    out.sort(key=lambda c: -c[1])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# comb filterbank scoring (port of comb_filter.rs:150-400, beat-centric)
+# ---------------------------------------------------------------------------
+
+def comb_score_np(onsets, sample_rate: int, bpm: float, tolerance: float) -> float:
+    """Literal beat-centric score (comb_filter.rs:342-397): for each expected
+    beat on the grid anchored at sample 0, check whether the NEAREST onset is
+    within tolerance*period; normalize by the expected-beat count."""
+    if len(onsets) == 0:
+        return 0.0
+    onsets = np.asarray(sorted(onsets), np.float64)
+    period = 60.0 * sample_rate / bpm
+    tol = period * tolerance
+    last = onsets[-1]
+    num_beats = int(np.ceil(last / period)) + 1
+    aligned = 0
+    for k in range(num_beats):
+        expected = k * period
+        d = np.abs(onsets - expected).min()
+        if d <= tol:
+            aligned += 1
+    return aligned / num_beats if num_beats > 0 else 0.0
+
+
+def comb_confidences_np(onsets, sample_rate: int, grid) -> np.ndarray:
+    """Adaptive-tolerance scores over the grid, normalized by the max
+    (comb_filter.rs:150-180): tolerance = clamp(0.1 * 120/bpm, 0.05, 0.15)."""
+    scores = np.array([
+        comb_score_np(
+            onsets, sample_rate, b,
+            float(np.clip(0.10 * (120.0 / b), 0.05, 0.15)),
+        )
+        for b in grid
+    ])
+    mx = scores.max()
+    return scores / mx if mx > 1e-10 else scores

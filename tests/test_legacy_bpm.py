@@ -138,3 +138,50 @@ def test_merge_parity_vs_numpy_port(name, ac, cb, use_guard):
     assert abs(float(got["confidence"][0]) - want[1]) < 1e-4, (
         name, float(got["confidence"][0]), want[1])
     assert int(got["method_agreement"][0]) == want[2], name
+
+
+def test_comb_onset_centric_equivalence():
+    """The repo's onset-centric distinct-claim counting is provably equal to
+    the reference's beat-centric nearest-onset scoring (legacy.py comment);
+    pin it numerically against the literal beat-centric port across the
+    whole grid for jittered, dropout-laden, and syncopated onset patterns."""
+    from stratum_dsp_tpu.features.period.legacy import comb_candidates, comb_bpm_grid
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    sr = 44100
+    rng = np.random.default_rng(11)
+    patterns = {
+        "clean_128": (np.arange(0, 15.0, 60 / 128) * sr).astype(int),
+        "jitter_97": ((np.arange(0, 15.0, 60 / 97) + rng.uniform(-0.02, 0.02, 25)) * sr).astype(int),
+        "dropout_140": np.delete((np.arange(0, 15.0, 60 / 140) * sr).astype(int), [3, 4, 11, 20]),
+        "offbeat_80": ((np.sort(np.concatenate([
+            np.arange(0, 15.0, 60 / 80), np.arange(0, 15.0, 60 / 80) + 0.375]))) * sr).astype(int),
+    }
+    grid = comb_bpm_grid(CFG.min_bpm, CFG.max_bpm, CFG.bpm_resolution)
+
+    for name, onsets in patterns.items():
+        onsets = np.unique(onsets)
+        k = 64
+        p = np.zeros((1, k), np.int32)
+        v = np.zeros((1, k), bool)
+        p[0, : len(onsets)] = onsets
+        v[0, : len(onsets)] = True
+        got = comb_candidates(
+            jnp.asarray(p), jnp.asarray(v), int(16 * sr), sr,
+            CFG.min_bpm, CFG.max_bpm, CFG.bpm_resolution,
+        )
+        want_conf = ref.comb_confidences_np(onsets, sr, grid)
+
+        # rebuild the repo's (bpm -> conf) map from its sorted output
+        got_map = {}
+        for b, c, val in zip(np.asarray(got.bpm[0]), np.asarray(got.confidence[0]),
+                             np.asarray(got.valid[0])):
+            if val:
+                got_map[round(float(b), 3)] = float(c)
+        for b, wc in zip(grid, want_conf):
+            gb = round(float(b), 3)
+            if wc >= 0.1:
+                assert gb in got_map, (name, gb, wc)
+                assert abs(got_map[gb] - wc) < 5e-3, (name, gb, got_map[gb], wc)
+            elif gb in got_map:
+                assert got_map[gb] < 0.12, (name, gb, got_map[gb])

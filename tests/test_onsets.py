@@ -158,3 +158,52 @@ def test_hpss_reconstruction():
     line[0, :, 10] = 1.0
     h2, p2 = hpss_decompose(jnp.asarray(line), jnp.asarray([40]), margin=3, iterations=3)
     assert float(jnp.sum(h2)) > float(jnp.sum(p2))
+
+
+def test_consensus_parity_vs_numpy_port():
+    """vote_onsets vs the loop-for-loop port of consensus.rs:111-287,
+    including the knife edges: a method firing TWICE inside one cluster
+    (per-onset weight summation), integer-floor centers, and chained
+    clusters spanning > tolerance end-to-end."""
+    from stratum_dsp_tpu.features.onset.consensus import vote_onsets, consensus_onsets
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    sr = 44100
+    tol_ms = 50
+    weights = [0.3, 0.25, 0.25, 0.2]
+    # tol = 2205 samples. Cluster A chains 1000-5200 (>tol span);
+    # method 0 fires twice in cluster A; cluster B isolated; C pair.
+    m0 = [1000, 3000, 40000]
+    m1 = [1500, 40500]
+    m2 = [5200, 90000]
+    m3 = [39900]
+
+    want = ref.vote_onsets_np([m0, m1, m2, m3], weights, tol_ms, sr)
+
+    def pad(lst, k=8):
+        p = np.zeros((1, k), np.int32)
+        v = np.zeros((1, k), bool)
+        p[0, : len(lst)] = lst
+        v[0, : len(lst)] = True
+        return jnp.asarray(p), jnp.asarray(v)
+
+    ps, vs = zip(*[pad(m) for m in (m0, m1, m2, m3)])
+    vote = vote_onsets(list(ps), list(vs), weights, tol_ms, sr)
+    c_pos, c_valid = consensus_onsets(vote, 16)
+
+    got_time_order = [
+        (int(c), round(float(cf), 6), int(vb))
+        for c, cf, vb, v in zip(
+            np.asarray(vote["centers"][0]), np.asarray(vote["confidence"][0]),
+            np.asarray(vote["voted_by"][0]), np.asarray(vote["valid"][0]))
+        if v
+    ]
+    # compare as sets ordered by time (the repo emits time-ordered clusters;
+    # the reference sorts confidence-desc — same multiset)
+    assert sorted(got_time_order) == sorted(want), (got_time_order, want)
+    # consensus_onsets applies the orchestrator policy (lib.rs:259-285):
+    # clusters with >=2 votes if any exist, else all; time-sorted dedup
+    strong = sorted({c for c, _, vb in want if vb >= 2})
+    expect = strong if strong else sorted({c for c, _, _ in want})
+    got_pos = [int(p) for p, v in zip(np.asarray(c_pos[0]), np.asarray(c_valid[0])) if v]
+    assert got_pos == expect, (got_pos, expect)
