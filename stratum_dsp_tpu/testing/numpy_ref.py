@@ -1007,3 +1007,68 @@ def comb_confidences_np(onsets, sample_rate: int, grid) -> np.ndarray:
     ])
     mx = scores.max()
     return scores / mx if mx > 1e-10 else scores
+
+
+# ---------------------------------------------------------------------------
+# beat-grid aggregation (ports of beat_tracking/{mod,time_signature}.rs)
+# ---------------------------------------------------------------------------
+
+def detect_downbeats_np(beats, bpm_estimate: float, beats_per_bar: int):
+    """Sequential downbeat chain (mod.rs:363-404): first beat is a downbeat;
+    each later beat is one iff within +-10% of a bar interval AFTER the last
+    ACCEPTED downbeat (the chain resets on acceptance)."""
+    beats = list(beats)
+    if not beats or bpm_estimate <= 0:
+        return []
+    bar = (60.0 / bpm_estimate) * beats_per_bar
+    tol = bar * 0.1
+    down = [beats[0]]
+    for t in beats[1:]:
+        if abs(t - (down[-1] + bar)) <= tol:
+            down.append(t)
+    return down
+
+
+def grid_stability_np(beat_times) -> float:
+    """1 / (1 + CV of positive beat intervals) (mod.rs:425-485)."""
+    bt = np.asarray(beat_times, np.float64)
+    if len(bt) < 2:
+        return 0.0
+    iv = np.diff(bt)
+    iv = iv[iv > 0]
+    if len(iv) == 0:
+        return 0.0
+    mean = iv.mean()
+    if mean <= 1e-10:
+        return 0.0
+    cv = np.sqrt(((iv - mean) ** 2).mean()) / mean
+    return float(1.0 / (1.0 + cv))
+
+
+def detect_time_signature_np(beats):
+    """Hypothesis scoring at lags {4, 3, 6}: 0.7 * interval-autocorrelation
+    similarity + 0.3 * consistency 1/(1+CV) (time_signature.rs:90-199);
+    < 8 beats -> (4, 0.5). Returns (beats_per_bar, confidence)."""
+    beats = np.asarray(beats, np.float64)
+    if len(beats) < 8:
+        return 4, 0.5
+    iv = np.diff(beats)
+    iv = iv[iv > 0]
+    if len(iv) == 0:
+        return 4, 0.5
+    mean = iv.mean()
+    cv = np.sqrt(((iv - mean) ** 2).mean()) / mean if mean > 1e-10 else 1.0
+    consistency = 1.0 / (1.0 + cv)
+
+    def score(lag):
+        if len(iv) < lag:
+            return 0.0
+        sims = [1.0 / (1.0 + abs(iv[i] - iv[i + lag]) / mean)
+                for i in range(len(iv) - lag)]
+        if not sims:
+            return 0.0
+        return min(sum(sims) / len(sims) * 0.7 + consistency * 0.3, 1.0)
+
+    scores = [(4, score(4)), (3, score(3)), (6, score(6))]
+    best = max(scores, key=lambda s: s[1])
+    return best[0], float(np.clip(best[1], 0.0, 1.0))

@@ -162,3 +162,45 @@ def test_hmm_parity_vs_numpy_port():
     np.testing.assert_allclose(got_c, want_c, atol=1e-4)
     got_path = np.asarray(states[0])[: len(want_path)]
     np.testing.assert_array_equal(got_path, want_path)
+
+
+def test_grid_aggregation_parity_vs_numpy_ports():
+    """detect_downbeats / grid_stability / detect_time_signature vs the
+    float64 ports of mod.rs:363-485 + time_signature.rs:90-175, on a
+    jittered grid whose downbeat chain includes accept/reject resets."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.features.beat import grid as g
+    from stratum_dsp_tpu.features.beat import time_signature as ts
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    rng = np.random.default_rng(3)
+    bpm = 132.0
+    beats = np.arange(0.0, 25.0, 60.0 / bpm) + rng.uniform(-0.03, 0.03, 55)
+    beats = np.sort(beats)
+    k = 64
+    bt = np.zeros((1, k), np.float32)
+    bv = np.zeros((1, k), bool)
+    bt[0, : len(beats)] = beats
+    bv[0, : len(beats)] = True
+    n = jnp.asarray([len(beats)], jnp.int32)
+
+    sig, conf = ts.detect_time_signature(jnp.asarray(bt), jnp.asarray(bv), n)
+    want_sig, want_conf = ref.detect_time_signature_np(beats)
+    # repo encodes the enum index {0: 4/4, 1: 3/4, 2: 6/8}
+    assert {0: 4, 1: 3, 2: 6}[int(sig[0])] == want_sig
+    assert abs(float(conf[0]) - want_conf) < 1e-3
+
+    sig_index = {4: 0, 3: 1, 6: 2}[want_sig]
+    down_mask = g.detect_downbeats(
+        jnp.asarray(bt), n, jnp.asarray([bpm], jnp.float32),
+        jnp.asarray([sig_index], jnp.int32),
+    )
+    got_down = bt[0][np.asarray(down_mask[0]) & bv[0]]
+    want_down = ref.detect_downbeats_np(beats, bpm, want_sig)
+    np.testing.assert_allclose(got_down, want_down, atol=1e-5)
+    assert len(want_down) >= 3  # the chain actually fired
+
+    stab = g.grid_stability(jnp.asarray(bt), n)
+    assert abs(float(stab[0]) - ref.grid_stability_np(beats)) < 1e-4
