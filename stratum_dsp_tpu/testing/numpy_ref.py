@@ -1072,3 +1072,39 @@ def detect_time_signature_np(beats):
     scores = [(4, score(4)), (3, score(3)), (6, score(6))]
     best = max(scores, key=lambda s: s[1])
     return best[0], float(np.clip(best[1], 0.0, 1.0))
+
+
+def detect_tempo_variations_np(beats, nominal_bpm: float):
+    """Segment-CV variation detection (tempo_variation.rs:96-231): segments
+    of clamp(total/4, 4..8) s at 50% hop over the beat list; a segment with
+    >= 3 beats is variable iff its interval CV > 0.15. Returns
+    (segments [(start, end, bpm, confidence, is_variable)], has_variation)."""
+    beats = np.asarray(beats, np.float64)
+    if len(beats) < 4:
+        seg = (beats[0] if len(beats) else 0.0,
+               beats[-1] if len(beats) else 0.0, nominal_bpm, 0.5, False)
+        return [seg], False
+    total = beats[-1] - beats[0]
+    if total < 2.0:
+        return [(beats[0], beats[-1], nominal_bpm, 0.8, False)], False
+
+    seg_dur = float(np.clip(total / 4.0, 4.0, 8.0))
+    hop = seg_dur * 0.5
+    segments = []
+    start = beats[0]
+    while start < beats[-1]:
+        end = min(start + seg_dur, beats[-1])
+        sb = beats[(beats >= start) & (beats <= end)]
+        if len(sb) >= 3:
+            iv = np.diff(sb)
+            iv = iv[iv > 0]
+            if len(iv):
+                mean = iv.mean()
+                cv = (np.sqrt(((iv - mean) ** 2).mean()) / mean) if mean > 1e-10 else 0.0
+                bpm = 60.0 / mean if mean > 1e-10 else nominal_bpm
+                conf = max(1.0 - min(cv / 0.3, 1.0), 0.0)
+                segments.append((start, end, bpm, conf, cv > 0.15))
+        start += seg_dur - hop
+    if not segments:
+        segments = [(beats[0], beats[-1], nominal_bpm, 0.8, False)]
+    return segments, any(s[4] for s in segments)

@@ -204,3 +204,54 @@ def test_grid_aggregation_parity_vs_numpy_ports():
 
     stab = g.grid_stability(jnp.asarray(bt), n)
     assert abs(float(stab[0]) - ref.grid_stability_np(beats)) < 1e-4
+
+
+def test_tempo_variation_flag_parity_fuzz():
+    """has_variation parity vs the tempo_variation.rs port across 24 fuzzed
+    beat lists spanning steady, jittered (below/above the 0.15-CV edge),
+    jumpy, and ramped grids."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.features.beat.variation import refine_beats
+    from stratum_dsp_tpu.features.beat.hmm import BeatTensor
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    rng = np.random.default_rng(17)
+    cases = []
+    for jit in (0.0, 0.02, 0.05, 0.08, 0.12, 0.2):
+        base = np.arange(0.0, 22.0, 0.5)
+        cases.append(np.sort(base + rng.uniform(-jit, jit, len(base))))
+    for jump in (0.55, 0.7, 0.9):
+        a = np.arange(0.0, 10.0, 0.5)
+        b = np.arange(10.0, 22.0, jump)
+        cases.append(np.concatenate([a, b]))
+    t = np.cumsum(np.linspace(0.42, 0.58, 44))
+    cases.append(t)
+    for _ in range(14):
+        n = rng.integers(12, 48)
+        iv = rng.uniform(0.3, 0.8) + rng.normal(0, rng.uniform(0, 0.12), n)
+        cases.append(np.cumsum(np.abs(iv) + 0.05))
+
+    mism = []
+    for i, beats in enumerate(cases):
+        k = 96
+        bt = np.zeros((1, k), np.float32)
+        bv = np.zeros((1, k), bool)
+        bt[0, : len(beats)] = beats
+        bv[0, : len(beats)] = True
+        tens = BeatTensor(
+            times=jnp.asarray(bt), confidence=jnp.asarray(bv, jnp.float32),
+            valid=jnp.asarray(bv),
+        )
+        nominal = 60.0 / float(np.median(np.diff(beats)))
+        ot = jnp.asarray(bt)  # onsets = beats (alignment not under test)
+        _, has_var = refine_beats(
+            tens, jnp.asarray([nominal], jnp.float32),
+            jnp.asarray([0.5], jnp.float32), ot, jnp.asarray(bv),
+            seg_beat_cap=16, max_segments=8,
+        )
+        _, want = ref.detect_tempo_variations_np(beats.astype(np.float32), nominal)
+        if bool(has_var[0]) != want:
+            mism.append((i, bool(has_var[0]), want))
+    assert not mism, mism

@@ -175,3 +175,38 @@ def test_hpcp_per_track_tuning_is_per_track():
         np.testing.assert_allclose(np.asarray(both[0]), np.asarray(solo0[0]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo1[0]), atol=1e-5)
         assert np.abs(np.asarray(both[0]) - np.asarray(both[1])).max() > 1e-3
+
+
+def test_detect_key_changes_modulation():
+    """Segment-wise key timeline (key_changes.rs:70-140): a chroma sequence
+    that modulates C major -> G major mid-way must yield C segments then G
+    segments, and a primary key from the majority."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.key.detector import detect_key_changes
+    from stratum_dsp_tpu.features.key.templates import key_templates
+
+    cfg = AnalysisConfig()
+    frame_rate = 44100 / 512
+    t = np.asarray(key_templates(cfg.key_template_set))
+    f = int(frame_rate * 40)  # 40 s of frames
+    half = f // 2
+    chroma = np.zeros((1, f, 12), np.float32)
+    chroma[0, :half] = t[0] / np.linalg.norm(t[0])   # C major profile
+    chroma[0, half:] = t[7] / np.linalg.norm(t[7])   # G major profile
+    mask = jnp.ones((1, f), jnp.float32)
+
+    ts, key_idx, conf, seg_valid, primary = detect_key_changes(
+        jnp.asarray(chroma), None, mask, jnp.asarray([f], jnp.int32),
+        cfg, frame_rate,
+    )
+    ki = np.asarray(key_idx[0])
+    sv = np.asarray(seg_valid[0])
+    tstamps = np.asarray(ts)
+    early = ki[sv & (tstamps + 8.0 < half / frame_rate)]
+    late = ki[sv & (tstamps > half / frame_rate)]
+    assert len(early) and (early == 0).all(), early   # C major
+    assert len(late) and (late == 7).all(), late      # G major
+    assert int(primary[0]) in (0, 7)
