@@ -1108,3 +1108,55 @@ def detect_tempo_variations_np(beats, nominal_bpm: float):
     if not segments:
         segments = [(beats[0], beats[-1], nominal_bpm, 0.8, False)]
     return segments, any(s[4] for s in segments)
+
+
+# ---------------------------------------------------------------------------
+# spectral-flux / HFC onset detectors (ports of onset/{spectral_flux,hfc}.rs)
+# ---------------------------------------------------------------------------
+
+def _flux_peak_pick_np(flux, threshold_percentile: float):
+    """Percentile threshold sorted[floor(n*pct)] + local-max peak pick with
+    the reference's edge handling (spectral_flux.rs:165-216): interior peaks
+    are flux > prev and >= next; first entry counts if >= its neighbor; last
+    if > its neighbor. Onset frame = flux index + 1."""
+    flux = np.asarray(flux, np.float64)
+    if len(flux) == 0:
+        return []
+    s = np.sort(flux)
+    idx = min(int(len(s) * threshold_percentile), len(s) - 1)
+    thr = s[idx]
+    onsets = []
+    for i in range(1, len(flux) - 1):
+        if flux[i] > thr and flux[i] > flux[i - 1] and flux[i] >= flux[i + 1]:
+            onsets.append(i + 1)
+    if len(flux) > 1 and flux[0] > thr and flux[0] >= flux[1]:
+        onsets.append(1)
+    last = len(flux) - 1
+    if len(flux) > 1 and flux[last] > thr and flux[last] > flux[last - 1]:
+        onsets.append(len(flux))
+    return sorted(set(onsets))
+
+
+def spectral_flux_onsets_np(spec, threshold_percentile: float):
+    """Per-frame max-normalize -> HWR L2 flux -> threshold + peak pick
+    (spectral_flux.rs:69-221). Returns onset FRAME indices."""
+    spec = np.asarray(spec, np.float64)
+    if len(spec) < 2:
+        return []
+    mx = spec.max(axis=1, keepdims=True)
+    norm = np.where(mx > 1e-10, spec / np.where(mx > 1e-10, mx, 1.0), 0.0)
+    d = np.maximum(norm[1:] - norm[:-1], 0.0)
+    flux = np.sqrt((d * d).sum(axis=1))
+    return _flux_peak_pick_np(flux, threshold_percentile)
+
+
+def hfc_onsets_np(spec, threshold_percentile: float):
+    """HFC[n] = sum_k k*|X|^2 -> HWR flux -> threshold + peak pick
+    (hfc.rs:57-220). Returns onset FRAME indices."""
+    spec = np.asarray(spec, np.float64)
+    if len(spec) < 2:
+        return []
+    k = np.arange(spec.shape[1])
+    hfc = (k[None, :] * spec * spec).sum(axis=1)
+    flux = np.maximum(hfc[1:] - hfc[:-1], 0.0)
+    return _flux_peak_pick_np(flux, threshold_percentile)

@@ -207,3 +207,42 @@ def test_consensus_parity_vs_numpy_port():
     expect = strong if strong else sorted({c for c, _, _ in want})
     got_pos = [int(p) for p, v in zip(np.asarray(c_pos[0]), np.asarray(c_valid[0])) if v]
     assert got_pos == expect, (got_pos, expect)
+
+
+def test_spectral_and_hfc_onsets_parity_vs_numpy_ports():
+    """The streamed onset_sflux/hfc features + flux_onsets_from_curve must
+    reproduce the literal ports of spectral_flux.rs / hfc.rs end-to-end
+    (frame indices exact) on a kick fixture."""
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.period import novelty as nov
+    from stratum_dsp_tpu.features.onset.spectral import flux_onsets_from_curve, hfc_flux
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    cfg = AnalysisConfig(stft_bf16=False)
+    trk = kick_pattern(115.0, 6.0)
+    samples, lengths = pad_batch([trk])
+    feats, fc, _ = nov.compute_bpm_spectral_features(
+        jnp.asarray(samples), jnp.asarray(lengths), cfg, SAMPLE_RATE, FRAME, HOP
+    )
+    pct = cfg.onset_threshold_percentile
+
+    # reference side from the same fixture via the independent STFT port
+    spec = ref.stft_magnitude(trk.astype(np.float64), FRAME, HOP)
+
+    # spectral flux
+    sflux = feats["onset_sflux"][:, 1:]
+    s_pos, s_valid = flux_onsets_from_curve(
+        sflux, jnp.maximum(fc - 1, 0), pct, HOP, jnp.asarray(lengths), 64
+    )
+    got_s = (np.asarray(s_pos[0])[np.asarray(s_valid[0])] // HOP).tolist()
+    want_s = ref.spectral_flux_onsets_np(spec, pct)
+    assert got_s == want_s, (got_s, want_s)
+
+    # HFC
+    hf, h_n = hfc_flux(feats["hfc"][:, :, 0], fc)
+    h_pos, h_valid = flux_onsets_from_curve(
+        hf, h_n, pct, HOP, jnp.asarray(lengths), 64
+    )
+    got_h = (np.asarray(h_pos[0])[np.asarray(h_valid[0])] // HOP).tolist()
+    want_h = ref.hfc_onsets_np(spec, pct)
+    assert got_h == want_h, (got_h, want_h)
