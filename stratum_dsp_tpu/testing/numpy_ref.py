@@ -1160,3 +1160,89 @@ def hfc_onsets_np(spec, threshold_percentile: float):
     hfc = (k[None, :] * spec * spec).sum(axis=1)
     flux = np.maximum(hfc[1:] - hfc[:-1], 0.0)
     return _flux_peak_pick_np(flux, threshold_percentile)
+
+
+# ---------------------------------------------------------------------------
+# silence detection/trim (port of preprocessing/silence.rs:102-279, float64)
+# ---------------------------------------------------------------------------
+
+def detect_and_trim_np(samples, sample_rate: int, threshold_db: float,
+                       frame_size: int, min_duration_ms: int = 500):
+    """50%-overlap frame RMS -> threshold -> region building with the
+    reference's keep rules (interior runs must last >= min_duration; leading/
+    trailing runs always count) -> leading/trailing trim. Returns
+    (trim_start, trim_end, regions)."""
+    x = np.asarray(samples, np.float64)
+    n = len(x)
+    if n == 0:
+        return 0, 0, []
+    thr = 10.0 ** (threshold_db / 20.0)
+    hop = frame_size // 2
+    num_frames = (n - frame_size) // hop + 1 if n >= frame_size else 1
+    starts, silent = [], []
+    for i in range(num_frames):
+        s = i * hop
+        e = min(s + frame_size, n)
+        rms = np.sqrt((x[s:e] ** 2).sum() / (e - s)) if e > s else 0.0
+        starts.append(s)
+        silent.append(rms <= thr)
+
+    min_frames = -(-int(min_duration_ms / 1000.0 * sample_rate) // hop)
+    regions = []
+    in_sil, sil_start = False, 0
+    for i, is_sil in enumerate(silent):
+        if is_sil and not in_sil:
+            in_sil, sil_start = True, i
+        elif not is_sil and in_sil:
+            in_sil = False
+            if (i - sil_start) >= min_frames or sil_start == 0 or i == num_frames:
+                end_sample = starts[i] if i < len(starts) else n
+                regions.append((starts[sil_start], end_sample))
+    if in_sil and ((num_frames - sil_start) >= min_frames or sil_start == 0):
+        regions.append((starts[sil_start], n))
+
+    trim_start = regions[0][1] if regions and regions[0][0] == 0 else 0
+    trim_end = regions[-1][0] if regions and regions[-1][1] == n else n
+    trim_start = min(trim_start, trim_end)
+    trim_end = max(trim_end, trim_start)
+    return trim_start, trim_end, regions
+
+
+def tuning_offset_np(spec, sample_rate: int, fft_size: int, fmin: float,
+                     fmax: float, frame_step: int, peak_rel_threshold: float) -> float:
+    """Weighted circular mean of semitone residuals (extractor.rs:66-170):
+    every ``frame_step``-th frame, bins >= peak*thr in [fmin, fmax] vote with
+    weight sqrt(mag) at angle 2*pi*residual; |resultant|/sum_w < 0.05 -> 0."""
+    spec = np.asarray(spec, np.float64)
+    if len(spec) == 0:
+        return 0.0
+    freq_res = sample_rate / fft_size
+    fmin = max(fmin, 20.0)
+    fmax = float(np.clip(fmax, fmin + 1.0, sample_rate / 2))
+    step = max(frame_step, 1)
+    thr = float(np.clip(peak_rel_threshold, 0.0, 1.0))
+    s_sin = s_cos = s_w = 0.0
+    freqs = np.arange(spec.shape[1]) * freq_res
+    band = (freqs >= fmin) & (freqs <= fmax)
+    for t in range(0, len(spec), step):
+        frame = spec[t]
+        peak = frame[band].max() if band.any() else 0.0
+        if peak <= 1e-12:
+            continue
+        sel = band & (frame >= peak * thr)
+        for b in np.nonzero(sel)[0]:
+            semitone = 12.0 * np.log2(freqs[b] / A4_FREQ) + SEMITONE_OFFSET
+            residual = semitone - np.round(semitone)
+            w = np.sqrt(max(frame[b], 0.0))
+            if w <= 0.0:
+                continue
+            ang = 2.0 * np.pi * residual
+            s_sin += w * np.sin(ang)
+            s_cos += w * np.cos(ang)
+            s_w += w
+    if s_w <= 1e-6:
+        return 0.0
+    r = np.hypot(s_sin, s_cos) / s_w
+    if r < 0.05:
+        return 0.0
+    return float(np.arctan2(s_sin, s_cos) / (2.0 * np.pi))

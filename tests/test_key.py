@@ -210,3 +210,51 @@ def test_detect_key_changes_modulation():
     assert len(early) and (early == 0).all(), early   # C major
     assert len(late) and (late == 7).all(), late      # G major
     assert int(primary[0]) in (0, 7)
+
+
+def test_tuning_estimation_parity_vs_numpy_port():
+    """estimate_tuning_streamed (conditioning off, f32 path) vs the circular-
+    mean port of extractor.rs:66-170 on a +5-cent detuned chord fixture
+    (inside the +-0.08-semitone clamp). The repo's kept-bin stream starts at
+    the 100 Hz band edge while the reference would also see 80-100 Hz; the
+    numpy side uses the kept band so the comparison isolates the math."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.key import pipeline as kp
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    cfg = AnalysisConfig(
+        enable_key_tuning_compensation=True,
+        enable_key_harmonic_mask=False,
+        enable_key_spectrogram_time_smoothing=False,
+        stft_bf16=False,
+    )
+    # high-register tones: above ~900 Hz the 8192-point bin width is well
+    # under a semitone, so bin-center residuals carry the detune signal
+    # (low-register harmonics smear residuals by up to +-half a semitone,
+    # which is why whole-mix detection is weak — matches the reference)
+    t = np.arange(int(12.0 * 44100)) / 44100
+    det = 2.0 ** (5.0 / 1200.0)
+    x = sum(np.sin(2 * np.pi * f * det * t)
+            for f in (987.77, 1174.66, 1318.51, 1567.98, 1760.0))
+    x = (0.2 * x / np.abs(x).max()).astype(np.float32)
+    got = float(kp.estimate_tuning_streamed(
+        jnp.asarray(x[None]), jnp.asarray([len(x)], jnp.int32), cfg, 44100
+    )[0])
+
+    frame_size, _hop = kp._key_stft_params(cfg)
+    keep = kp._key_keep_bins(cfg, 44100, frame_size)
+    spec = ref.stft_magnitude(x.astype(np.float64), frame_size, 512)
+    n_bins = keep if keep is not None else spec.shape[1]
+    freq_res = 44100 / frame_size
+    fmin = max(80.0, 0.0)
+    want = ref.tuning_offset_np(
+        spec[:, :n_bins], 44100, frame_size, fmin, 2000.0,
+        cfg.key_tuning_frame_step, cfg.key_tuning_peak_rel_threshold,
+    )
+    want = float(np.clip(want, -cfg.key_tuning_max_abs_semitones,
+                         cfg.key_tuning_max_abs_semitones))
+    assert abs(got - want) < 0.005, (got, want)
+    assert 0.025 < got < 0.08, got  # ~+0.05-semitone detune detected

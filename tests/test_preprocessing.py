@@ -130,3 +130,39 @@ def test_no_trim_for_loud_track():
     )
     assert int(info["trim_start"][0]) == 0
     assert int(new_lengths[0]) == len(x)
+
+
+def test_silence_trim_parity_vs_numpy_port():
+    """detect_and_trim vs the literal silence.rs port on edge-case fixtures:
+    short interior gaps (< 500 ms, must NOT create regions), leading-only,
+    trailing-only, both, and a sub-threshold quiet lead-in."""
+    from stratum_dsp_tpu.preprocessing.silence import detect_and_trim
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    sr = SAMPLE_RATE
+    rng = np.random.default_rng(5)
+
+    def tone(sec, amp=0.5):
+        t = np.arange(int(sec * sr)) / sr
+        return (amp * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    sil = lambda sec: np.zeros(int(sec * sr), np.float32)
+    cases = {
+        "lead": np.concatenate([sil(2.0), tone(5.0)]),
+        "trail": np.concatenate([tone(5.0), sil(2.0)]),
+        "both": np.concatenate([sil(1.5), tone(4.0), sil(1.0)]),
+        "short_gap": np.concatenate([tone(2.0), sil(0.3), tone(2.0)]),
+        "long_gap": np.concatenate([tone(2.0), sil(1.0), tone(2.0)]),
+        "quiet_lead": np.concatenate([tone(2.0, amp=0.005), tone(4.0)]),
+    }
+    for name, x in cases.items():
+        samples, lengths = pad_batch([x])
+        out, new_len, info = detect_and_trim(
+            jnp.asarray(samples), jnp.asarray(lengths), sr, -40.0,
+            frame_size=2048,
+        )
+        ts, te, _regions = ref.detect_and_trim_np(x, sr, -40.0, 2048)
+        want_len = te - ts
+        assert int(new_len[0]) == want_len, (name, int(new_len[0]), want_len)
+        got = np.asarray(out[0, : int(new_len[0])])
+        np.testing.assert_allclose(got, x[ts:te], atol=1e-7, err_msg=name)
