@@ -1246,3 +1246,75 @@ def tuning_offset_np(spec, sample_rate: int, fft_size: int, fmin: float,
     if r < 0.05:
         return 0.0
     return float(np.arctan2(s_sin, s_cos) / (2.0 * np.pi))
+
+
+def frame_to_hpcp_np(frame, sample_rate: int, fft_size: int, sigma: float,
+                     tuning_offset: float, peaks_per_frame: int,
+                     num_harmonics: int, harmonic_decay: float,
+                     mag_power: float, fmin: float = CHROMA_FMIN_HZ,
+                     fmax: float = CHROMA_FMAX_HZ) -> np.ndarray:
+    """HPCP via top-K in-band local maxima + harmonic summation with
+    decay^(h-1)/h weights and +-1-class Gaussian soft mapping
+    (extractor.rs:582-680). Peak condition: > prev and >= next."""
+    frame = np.asarray(frame, np.float64)
+    freq_res = sample_rate / fft_size
+    peaks = []
+    for b in range(1, len(frame) - 1):
+        f = b * freq_res
+        if f < fmin:
+            continue
+        if f > fmax:
+            break
+        if frame[b] <= frame[b - 1] or frame[b] < frame[b + 1]:
+            continue
+        peaks.append((b, frame[b]))
+    pc = np.zeros(12)
+    if not peaks:
+        return pc
+    peaks.sort(key=lambda p: -p[1])
+    peaks = peaks[: max(min(peaks_per_frame, len(peaks)), 1)]
+
+    sigma = max(sigma, 1e-6)
+    hmax = max(num_harmonics, 1)
+    decay = float(np.clip(harmonic_decay, 0.0, 1.0))
+    p = float(np.clip(mag_power, 0.05, 1.0))
+    for b, _v in peaks:
+        f0 = b * freq_res
+        if f0 <= 0.0:
+            continue
+        w0 = max(frame[b], 0.0) ** p
+        if w0 <= 0.0:
+            continue
+        for h in range(1, hmax + 1):
+            fh = f0 * h
+            if fh > fmax:
+                break
+            if fh < fmin:
+                continue
+            semitone = 12.0 * np.log2(fh / A4_FREQ) + SEMITONE_OFFSET - tuning_offset
+            st_pc = semitone % 12.0
+            primary = int(round(st_pc)) % 12
+            hw = (decay ** (h - 1)) / h
+            contrib = w0 * hw
+            for off in (-1, 0, 1):
+                target = (primary + off) % 12
+                dist = abs(st_pc - target)
+                dist = min(dist, 12.0 - dist)
+                pc[target] += contrib * np.exp(-dist * dist / (2.0 * sigma * sigma))
+    norm = np.sqrt((pc**2).sum())
+    return pc / norm if norm > EPSILON else pc
+
+
+def harmonic_time_mask_np(spec, smooth_margin: int, mask_power: float) -> np.ndarray:
+    """Time-smoothed soft harmonic mask (extractor.rs:1246-1349):
+    H = boxcar time mean, P = max(0, X - H), out = X * H^p/(H^p + P^p)."""
+    x = np.maximum(np.asarray(spec, np.float64), 0.0)
+    n = len(x)
+    h = np.empty_like(x)
+    for t in range(n):
+        lo, hi = max(t - smooth_margin, 0), min(t + smooth_margin + 1, n)
+        h[t] = x[lo:hi].mean(axis=0)
+    p = max(mask_power, 1.0)
+    r = np.maximum(x - h, 0.0)
+    hp, rp = h**p, r**p
+    return x * (hp / (hp + rp + 1e-12))

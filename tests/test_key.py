@@ -258,3 +258,68 @@ def test_tuning_estimation_parity_vs_numpy_port():
                          cfg.key_tuning_max_abs_semitones))
     assert abs(got - want) < 0.005, (got, want)
     assert 0.025 < got < 0.08, got  # ~+0.05-semitone detune detected
+
+
+def test_hpcp_parity_vs_numpy_port():
+    """frames_to_hpcp (exact peak path) vs the literal port of the HPCP
+    harmonic summation (extractor.rs:582-680) on scale-fixture frames."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.chroma.extractor import frames_to_hpcp
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+    from stratum_dsp_tpu.testing import c_major_scale
+
+    cfg = AnalysisConfig()
+    frame_size = 8192
+    spec = ref.stft_magnitude(c_major_scale().astype(np.float64), frame_size, 512)
+    frames = spec[8:16].astype(np.float32)  # 8 frames mid-scale
+
+    got = np.asarray(frames_to_hpcp(
+        jnp.asarray(frames[None]), 44100, frame_size, cfg.soft_mapping_sigma,
+        0.0, cfg.key_hpcp_peaks_per_frame, cfg.key_hpcp_num_harmonics,
+        cfg.key_hpcp_harmonic_decay, cfg.key_hpcp_mag_power,
+        approx_peaks=False,
+    )[0])
+    for i, frame in enumerate(frames):
+        want = ref.frame_to_hpcp_np(
+            frame, 44100, frame_size, cfg.soft_mapping_sigma, 0.0,
+            cfg.key_hpcp_peaks_per_frame, cfg.key_hpcp_num_harmonics,
+            cfg.key_hpcp_harmonic_decay, cfg.key_hpcp_mag_power,
+        )
+        err = np.linalg.norm(got[i] - want)
+        assert err < 1e-3, (i, err, got[i], want)
+
+
+def test_harmonic_mask_parity_vs_numpy_port():
+    """harmonic_time_mask (the DEFAULT key conditioning) vs the port of
+    extractor.rs:1246-1349, on interior frames away from chunk halos."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.chroma.extractor import harmonic_time_mask
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    cfg = AnalysisConfig()
+    rng = np.random.default_rng(23)
+    # sustained tones + transient spikes: both mask branches exercised
+    spec = np.abs(rng.standard_normal((60, 40))).astype(np.float32) * 0.1
+    spec[:, 7] += 2.0          # sustained harmonic line
+    spec[20, :] += 5.0         # broadband transient
+    spec[41, 12:20] += 3.0     # partial-band transient
+
+    fvalid = jnp.ones((1, 60), bool)
+    got = np.asarray(harmonic_time_mask(
+        jnp.asarray(spec[None]), fvalid,
+        cfg.key_spectrogram_smooth_margin, cfg.key_harmonic_mask_power,
+    )[0])
+    want = ref.harmonic_time_mask_np(
+        spec, cfg.key_spectrogram_smooth_margin, cfg.key_harmonic_mask_power
+    )
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-5, err
+    # the transient frame is strongly suppressed; the sustained line is not
+    assert got[20, 3] < 0.5 * spec[20, 3]
+    assert got[30, 7] > 0.8 * spec[30, 7]
