@@ -1318,3 +1318,31 @@ def harmonic_time_mask_np(spec, smooth_margin: int, mask_power: float) -> np.nda
     r = np.maximum(x - h, 0.0)
     hp, rp = h**p, r**p
     return x * (hp / (hp + rp + 1e-12))
+
+
+def bayesian_update_np(onsets, current_bpm: float,
+                       likelihood_sigma: float = 0.05):
+    """One Bayesian tempo update (bayesian.rs:104-254): candidates
+    [max(cur-5, 60), min(cur+5, 180)] @ 0.5; likelihood = exp(mean of
+    -d^2/2sigma^2) on alignment to the candidate grid anchored at the first
+    onset; first-max tie; confidence = likelihood * change penalty
+    (1.0 / 0.8 / 0.5 at |change| < 1 / < 3 / >=3)."""
+    onsets = np.asarray(onsets, np.float64)
+    if len(onsets) == 0:
+        return current_bpm, 0.0
+    lo = max(current_bpm - 5.0, 60.0)
+    hi = min(current_bpm + 5.0, 180.0)
+    best_bpm, best_lik = current_bpm, 0.0
+    bpm = lo
+    while bpm <= hi + 1e-9:
+        interval = 60.0 / bpm
+        rel = onsets - onsets[0]
+        bi = np.round(rel / interval)
+        d = np.abs(rel - bi * interval)
+        lik = np.exp(np.mean(-(d * d) / (2.0 * likelihood_sigma**2)))
+        if lik > best_lik:
+            best_lik, best_bpm = lik, bpm
+        bpm += 0.5
+    change = abs(best_bpm - current_bpm)
+    penalty = 1.0 if change < 1.0 else (0.8 if change < 3.0 else 0.5)
+    return best_bpm, min(best_lik * penalty, 1.0)

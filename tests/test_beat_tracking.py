@@ -255,3 +255,61 @@ def test_tempo_variation_flag_parity_fuzz():
         if bool(has_var[0]) != want:
             mism.append((i, bool(has_var[0]), want))
     assert not mism, mism
+
+
+def test_bayesian_refine_bpm_parity():
+    """A variable segment whose onsets run at 124 BPM under a 120 nominal:
+    the refined segment's re-tracked beat interval must match the Bayesian
+    port's chosen BPM (bayesian.rs:104-254)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.features.beat.variation import refine_beats
+    from stratum_dsp_tpu.features.beat.hmm import BeatTensor
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    rng = np.random.default_rng(9)
+    # first 10 s steady 120-BPM beats; second 10 s wildly jittered (variable)
+    a = np.arange(0.0, 10.0, 0.5)
+    b = 10.0 + np.cumsum(rng.uniform(0.3, 0.75, 18))
+    beats = np.concatenate([a, b])
+    # onsets: clean 124-BPM grid across the second half
+    onsets = np.concatenate([a, np.arange(10.0, 20.0, 60.0 / 124.0)])
+
+    k = 96
+    def pack(x):
+        arr = np.zeros((1, k), np.float32)
+        v = np.zeros((1, k), bool)
+        arr[0, : len(x)] = x
+        v[0, : len(x)] = True
+        return jnp.asarray(arr), jnp.asarray(v)
+
+    bt, bv = pack(beats)
+    ot, ov = pack(onsets)
+    tens = BeatTensor(times=bt, confidence=jnp.asarray(bv, jnp.float32), valid=bv)
+    out, has_var = refine_beats(
+        tens, jnp.asarray([120.0], jnp.float32), jnp.asarray([0.5], jnp.float32),
+        ot, ov, seg_beat_cap=32, max_segments=8,
+    )
+    assert bool(has_var[0])
+
+    # port: walk the same segment chain (detect segments, update on variable)
+    segs, _ = ref.detect_tempo_variations_np(beats, 120.0)
+    cur = 120.0
+    for (s, e, _bpm, _c, is_var) in segs:
+        if is_var:
+            seg_onsets = onsets[(onsets >= s) & (onsets <= e)][:32]
+            if len(seg_onsets):
+                cur, _ = ref.bayesian_update_np(seg_onsets, cur)
+    want_interval = 60.0 / cur
+    assert abs(cur - 124.0) <= 1.0, cur  # the port detects ~124
+
+    # The union keeps overlap duplicates (constant-judged overlapping
+    # segments contribute their original beats too, mirroring the
+    # reference's extend+sort), so interval statistics are mixed; instead
+    # assert the re-tracked 60/cur grid is PRESENT: >= 80% of the 124-BPM
+    # onset grid in the variable region has a beat within 25 ms.
+    t_new = np.asarray(out.times[0])[np.asarray(out.valid[0])]
+    grid = onsets[(onsets > 11.0) & (onsets < 19.0)]
+    hits = sum(np.min(np.abs(t_new - g)) < 0.025 for g in grid)
+    assert hits >= 0.8 * len(grid), (hits, len(grid), want_interval)
