@@ -1346,3 +1346,90 @@ def bayesian_update_np(onsets, current_bpm: float,
     change = abs(best_bpm - current_bpm)
     penalty = 1.0 if change < 1.0 else (0.8 if change < 3.0 else 0.5)
     return best_bpm, min(best_lik * penalty, 1.0)
+
+
+def detect_key_multi_scale_np(chroma, weights, templates, lengths, hop: int,
+                              min_clarity: float, scale_weights=None):
+    """Clarity x scale-weight accumulation of refined score tables across
+    scales (detector.rs:546-700). Returns (key_idx, confidence, scores[24])
+    or None when no segment clears the clarity gate (caller falls back)."""
+    chroma = np.asarray(chroma, np.float64)
+    n = len(chroma)
+    acc = np.zeros(24)
+    total_w = 0.0
+    used = 0
+    for si, seg_len in enumerate(lengths):
+        if seg_len == 0 or seg_len > n:
+            continue
+        sw = scale_weights[si] if scale_weights else 1.0
+        if sw <= 0:
+            continue
+        start = 0
+        while start + seg_len <= n:
+            seg = chroma[start:start + seg_len]
+            wseg = weights[start:start + seg_len] if weights is not None else None
+            scores = key_scores_refined(seg, wseg, templates)
+            clarity = _key_clarity_np(scores)
+            if clarity >= min_clarity:
+                used += 1
+                cw = clarity * sw
+                total_w += cw
+                acc += scores * cw
+            start += max(hop, 1)
+    if used == 0 or total_w <= 1e-12:
+        return None
+    acc /= total_w
+    best = best_key_np(acc)
+    order = np.argsort(-acc, kind="stable")
+    second = acc[order[1]] if len(order) > 1 else 0.0
+    conf = float(np.clip((acc[best] - second) / acc[best], 0, 1)) if acc[best] > 0 else 0.0
+    return best, conf, acc
+
+
+def _key_clarity_np(scores) -> float:
+    """(best - mean) / (best - min), clamped (key_clarity.rs:51-93)."""
+    s = np.asarray(scores, np.float64)
+    best, mean, lo = s.max(), s.mean(), s.min()
+    rng = best - lo
+    return float(np.clip((best - mean) / rng, 0, 1)) if rng > 1e-10 else 0.0
+
+
+def detect_key_median_np(chroma, weights, templates, seg_len: int, hop: int,
+                         min_segments: int):
+    """Most-common segment key (confidence tie-break), confidence from
+    confidence-weighted aggregate scores (detector.rs:721-863). Returns
+    (key_idx, confidence) or None when < min_segments (caller falls back)."""
+    chroma = np.asarray(chroma, np.float64)
+    n = len(chroma)
+    seg_len = max(min(seg_len, n), 120)
+    hop = max(hop, 1)
+    seg_results = []
+    start = 0
+    while start + seg_len <= n:
+        seg = chroma[start:start + seg_len]
+        wseg = weights[start:start + seg_len] if weights is not None else None
+        scores = key_scores_refined(seg, wseg, templates)
+        k = best_key_np(scores)
+        order = np.argsort(-scores, kind="stable")
+        second = scores[order[1]] if len(order) > 1 else 0.0
+        conf = float(np.clip((scores[k] - second) / scores[k], 0, 1)) if scores[k] > 0 else 0.0
+        seg_results.append((k, conf, scores))
+        start += hop
+    if len(seg_results) < max(min_segments, 1):
+        return None
+    counts = {}
+    for k, c, _ in seg_results:
+        cnt, tot = counts.get(k, (0, 0.0))
+        counts[k] = (cnt + 1, tot + c)
+    median_key = max(counts, key=lambda k: (counts[k][0], counts[k][1], -k))
+    agg = np.zeros(24)
+    tw = sum(c for _, c, _ in seg_results)
+    if tw > 0:
+        for _, c, s in seg_results:
+            agg += s * c
+        agg /= tw
+    order = np.argsort(-agg, kind="stable")
+    second = next((agg[i] for i in order if i != median_key), 0.0)
+    ms = agg[median_key]
+    conf = float(np.clip((ms - second) / ms, 0, 1)) if ms > 0 else 0.0
+    return median_key, conf

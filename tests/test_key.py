@@ -323,3 +323,53 @@ def test_harmonic_mask_parity_vs_numpy_port():
     # the transient frame is strongly suppressed; the sustained line is not
     assert got[20, 3] < 0.5 * spec[20, 3]
     assert got[30, 7] > 0.8 * spec[30, 7]
+
+
+def test_multi_scale_and_median_parity_vs_numpy_ports():
+    """detect_key_multi_scale / detect_key_median vs the aggregation ports
+    (detector.rs:546-700, 721-863) on structured chroma with a section
+    change (so segment winners genuinely differ)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.config import AnalysisConfig
+    from stratum_dsp_tpu.features.key import detector
+    from stratum_dsp_tpu.features.key.templates import key_templates
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    rng = np.random.default_rng(31)
+    t_np = ref.key_templates_np("kk")
+    f = 480
+    chroma = 0.15 * np.abs(rng.standard_normal((f, 12)))
+    chroma[: f // 2] += 0.8 * t_np[2]    # D major section
+    chroma[f // 2 :] += 0.8 * t_np[21]   # A minor section
+    chroma = (chroma / np.linalg.norm(chroma, axis=1, keepdims=True)).astype(np.float32)
+    weights = rng.random(f).astype(np.float32)
+
+    cfg = AnalysisConfig(
+        enable_key_multi_scale=True, key_multi_scale_lengths=(120, 240),
+        key_multi_scale_hop=60,
+    )
+    jc = jnp.asarray(chroma[None])
+    jw = jnp.asarray(weights[None])
+    mask = jnp.ones((1, f), jnp.float32)
+    n = jnp.asarray([f], jnp.int32)
+
+    got_ms = detector.detect_key_multi_scale(jc, jw, mask, n, cfg)
+    want_ms = ref.detect_key_multi_scale_np(
+        chroma, weights, t_np, (120, 240), 60, cfg.key_multi_scale_min_clarity,
+    )
+    assert want_ms is not None
+    assert int(got_ms.key_idx[0]) == want_ms[0]
+    assert abs(float(got_ms.confidence[0]) - want_ms[1]) < 0.01
+
+    cfg_md = AnalysisConfig(
+        enable_key_median=True, enable_key_segment_voting=False,
+        key_median_segment_length_frames=120, key_median_segment_hop_frames=60,
+    )
+    got_md = detector.detect_key_median(jc, jw, mask, n, cfg_md)
+    want_md = ref.detect_key_median_np(chroma, weights, t_np, 120, 60,
+                                       cfg_md.key_median_min_segments)
+    assert want_md is not None
+    assert int(got_md.key_idx[0]) == want_md[0]
+    assert abs(float(got_md.confidence[0]) - want_md[1]) < 0.01
