@@ -1433,3 +1433,49 @@ def detect_key_median_np(chroma, weights, templates, seg_len: int, hop: int,
     ms = agg[median_key]
     conf = float(np.clip((ms - second) / ms, 0, 1)) if ms > 0 else 0.0
     return median_key, conf
+
+
+def spectral_whiten_np(frame, smooth_bins: int) -> np.ndarray:
+    """Per-frame moving-average whitening: mag / (local mean + eps), clipped
+    at 20 (extractor.rs:556-580); window forced odd, truncated at edges."""
+    x = np.maximum(np.asarray(frame, np.float64), 0.0)
+    n = len(x)
+    win = max(smooth_bins, 3) | 1
+    half = win // 2
+    out = np.empty(n)
+    for i in range(n):
+        lo, hi = max(i - half, 0), min(i + half, n - 1)
+        mean = x[lo:hi + 1].sum() / max(hi + 1 - lo, 1)
+        out[i] = min(x[i] / (mean + 1e-12), 20.0)
+    return out
+
+
+def log_frequency_frame_np(frame, sample_rate: int, fft_size: int,
+                           fmin: float, fmax: float) -> np.ndarray:
+    """Linear -> semitone-bin conversion with linear interpolation
+    (extractor.rs:701-807)."""
+    frame = np.asarray(frame, np.float64)
+    freq_res = sample_rate / fft_size
+    nyquist = sample_rate / 2
+    fmin = max(fmin, 20.0)
+    fmax = min(fmax, nyquist - 1.0)
+    s_min = 12.0 * np.log2(fmin / A4_FREQ) + SEMITONE_OFFSET
+    s_max = 12.0 * np.log2(fmax / A4_FREQ) + SEMITONE_OFFSET
+    bin_min = int(np.floor(s_min))
+    n_out = int(np.ceil(s_max)) - bin_min + 1
+    out = np.zeros(n_out)
+    for b, mag in enumerate(frame):
+        if mag <= 0.0:
+            continue
+        freq = b * freq_res
+        if freq < fmin or freq >= fmax or freq >= nyquist:
+            continue
+        pos = 12.0 * np.log2(freq / A4_FREQ) + SEMITONE_OFFSET - bin_min
+        lo = int(np.floor(pos))
+        hi = min(int(np.ceil(pos)), n_out - 1)
+        if 0 <= lo < n_out:
+            w_hi = pos - lo
+            out[lo] += mag * (1.0 - w_hi)
+            if hi != lo:
+                out[hi] += mag * w_hi
+    return out

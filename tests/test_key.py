@@ -373,3 +373,29 @@ def test_multi_scale_and_median_parity_vs_numpy_ports():
     assert want_md is not None
     assert int(got_md.key_idx[0]) == want_md[0]
     assert abs(float(got_md.confidence[0]) - want_md[1]) < 0.01
+
+
+def test_whitening_and_logfreq_parity_vs_numpy_ports():
+    """spectral_whiten and log_frequency_projection vs the literal ports
+    (extractor.rs:556-580, 701-807)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.features.chroma.extractor import (
+        log_frequency_projection, spectral_whiten,
+    )
+    from stratum_dsp_tpu.testing import numpy_ref as ref
+
+    rng = np.random.default_rng(41)
+    frame = (np.abs(rng.standard_normal(4097)) ** 2).astype(np.float32)
+    frame[100] = 50.0  # a dominant narrowband peak
+
+    got_w = np.asarray(spectral_whiten(jnp.asarray(frame[None, None]), 31)[0, 0])
+    want_w = ref.spectral_whiten_np(frame, 31)
+    assert np.linalg.norm(got_w - want_w) / np.linalg.norm(want_w) < 1e-5
+
+    proj, bin_min = log_frequency_projection(44100, 8192, 100.0, 5000.0)
+    got_lf = frame @ proj
+    want_lf = ref.log_frequency_frame_np(frame, 44100, 8192, 100.0, 5000.0)
+    assert got_lf.shape == want_lf.shape
+    assert np.linalg.norm(got_lf - want_lf) / np.linalg.norm(want_lf) < 1e-5
