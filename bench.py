@@ -36,10 +36,12 @@ def main() -> int:
     from stratum_dsp_tpu.config import AnalysisConfig
     from stratum_dsp_tpu.testing import kick_pattern_device
 
-    # B=16 is the measured single-chip throughput knee at the round-3 chunk
-    # sizes (8 -> 88.0, 16 -> 91.9, 24 -> 92.6 tracks/s); production
-    # (analyze_batch CLI) buckets to large batches anyway.
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # B=24 is the round-4 knee: 8 -> 108.3, 16 -> 115.4, 24 -> 122.4
+    # tracks/s, 28/32 -> HBM OOM. (Round 3 measured 24 ~flat vs 16, but the
+    # sub-batched escalation amortizes better at 24: the escalated count
+    # stays ~3 while the denominator grows.) Chunk re-sweep at 24 kept 256
+    # (192 -> 117.4, 128 -> 120.5).
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     # 12+ reps: throughput is measured on a pipelined stream of batches, and
     # short streams understate it ~8% (the first post-warmup dispatches
     # amortize stream startup; measured 64.1 @ reps=4 vs 70.3 @ reps=16 on
@@ -47,7 +49,10 @@ def main() -> int:
     reps = int(os.environ.get("BENCH_REPS", "12"))
 
     cfg = AnalysisConfig()
-    caps = PipelineCaps()
+    # BENCH_CHUNK: streaming chunk size override for re-sweeps (the optimum
+    # follows the TOTAL working set, so re-tune after batch changes)
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    caps = PipelineCaps(chunk_frames=chunk) if chunk else PipelineCaps()
 
     t = int(TRACK_SECONDS * SR)
     # seeds stay below the >=170 fold-down region (tempogram.rs:669-699,
