@@ -180,6 +180,9 @@ def drum_track(
             _place(out, bt, hat, vel(0.28), sr)
             _place(out, bt + beat_len / 3.0, hat, vel(0.16), sr)
             _place(out, bt + 2.0 * beat_len / 3.0, hat, vel(0.22), sr)
+        elif hats == "sixteenth":
+            for q, g in ((0.0, 0.30), (0.25, 0.15), (0.5, 0.22), (0.75, 0.15)):
+                _place(out, bt + q * beat_len, hat, vel(g), sr)
 
     peak = np.abs(out).max()
     if peak > 0:
@@ -396,6 +399,13 @@ def battery_specs() -> List[TrackSpec]:
     # --- 12/8 triplet feel
     for b in (60, 80, 100, 120, 140, 160, 180):
         drum(f"triplet_{b}bpm", "triplet", float(b), hats="triplet")
+
+    # --- dense 16th-note hats at true 85-100: the 2x bait lands in the
+    # 170-200 trap zone the ambiguity gate + multi-res machinery target
+    # (lib.rs:412-459 trap_high; the correct-side complement of the >=170
+    # fold tests)
+    for b in (85, 88, 92, 95, 98, 100):
+        drum(f"sixteenth_{b}bpm", "sixteenth_bait", float(b), hats="sixteenth")
 
     # --- gentle tempo ramps (<=5%): GT = mean beat rate
     ramps = [(117, 123), (87, 93), (132, 126), (68, 72), (166, 174),

@@ -28,6 +28,7 @@ SUBSET = [
     ("sweepB_120bpm_backbeat", 120.0, None),
     ("swing60_110bpm", 110.0, None),
     ("triplet_120bpm", 120.0, None),
+    ("sixteenth_92bpm", 92.0, None),
     ("noise10dB_120bpm", 120.0, None),
     ("intro_quiet_128bpm", 128.0, None),
     ("key_C_block", None, "C"),
