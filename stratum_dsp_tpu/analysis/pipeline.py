@@ -280,7 +280,7 @@ def analyze_batch_arrays(
         # that downstream masking (mr_used requires `ambiguous`) never uses.
         # Disabled under a device mesh: a dynamic cross-track gather would
         # break the tracks-axis sharding locality.
-        caps_sub = sorted({b // 4, b // 2}) if mesh is None else []
+        caps_sub = sorted({b // 8, b // 4, b // 2}) if mesh is None else []
         caps_sub = [c for c in caps_sub if 0 < c < b]
 
         def run_mr_sub(cap):
