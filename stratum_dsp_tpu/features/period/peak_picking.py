@@ -1,65 +1,74 @@
-"""Generic peak-picking utility (mirror of reference
-``features/period/peak_picking.rs``): local maxima above relative/absolute
-thresholds with minimum-distance enforcement, batched with masks.
+"""Generic peak picking (reference ``period/peak_picking.rs:39-120``).
+
+Like the reference's ``find_peaks`` (only pub-re-exported, never called by
+the pipeline — ``period/mod.rs:54``), this is a standalone API-parity
+utility. Semantics matched exactly:
+
+* interior peaks are STRICT local maxima (x[i] > both neighbors);
+* the first/last elements count as peaks when they exceed their single
+  neighbor (peak_picking.rs:87-100);
+* ``threshold`` in (0, 1) is relative to the signal max (when max > 0),
+  otherwise absolute (peak_picking.rs:57-66);
+* ``min_distance`` dedup keeps peaks by DESCENDING VALUE — a lower peak
+  within min_distance of any kept peak is dropped regardless of order
+  along the axis (peak_picking.rs:102-120).
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ...ops import masked
 
+EPSILON = 1e-10
+
 
 def find_peaks(
     x: jax.Array,
     valid: jax.Array,
-    min_relative_height: float = 0.0,
-    min_absolute_height: float = 0.0,
+    threshold: float = 0.0,
     min_distance: int = 1,
 ):
-    """Boolean peak mask over the last axis (peak_picking.rs:39-100).
-
-    A peak is a strict local maximum (x[i] > x[i-1] and x[i] > x[i+1])
-    passing both thresholds; when two surviving peaks are closer than
-    ``min_distance`` the earlier, higher one wins (greedy left-to-right with
-    keep-higher semantics via a scan).
-    """
+    """Boolean peak mask over the last axis, reference semantics."""
     n = x.shape[-1]
-    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
-    nxt = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
-    idx = jnp.arange(n)
+    xm = jnp.where(valid, x, -jnp.inf)
     n_valid = jnp.sum(valid, axis=-1)[..., None]
-    interior = (idx >= 1) & (idx < n_valid - 1)
+    idx = jnp.arange(n)
+
     mx = masked.masked_max(x, valid)[..., None]
-    peaks = (
-        interior
-        & valid
-        & (x > prev)
-        & (x > nxt)
-        & (x >= mx * min_relative_height)
-        & (x >= min_absolute_height)
+    relative = 0.0 < threshold < 1.0
+    thr = jnp.where(
+        relative & (mx > 0.0), mx * threshold, jnp.full_like(mx, threshold)
     )
-    if min_distance <= 1:
+
+    prev = jnp.concatenate([jnp.full_like(xm[..., :1], -jnp.inf), xm[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([xm[..., 1:], jnp.full_like(xm[..., :1], -jnp.inf)], axis=-1)
+    interior = (idx >= 1) & (idx < n_valid - 1)
+    first = idx == 0
+    last = idx == n_valid - 1
+    peaks = valid & (
+        (interior & (xm > prev) & (xm > nxt))
+        | (first & (n_valid >= 2) & (xm > nxt))
+        | (last & (n_valid >= 2) & (xm > prev))
+    )
+    peaks = peaks & (xm >= thr) & (n_valid >= 3) & (mx >= EPSILON)
+
+    if min_distance <= 0:
         return peaks
 
-    def step(carry, inp):
-        last_pos, last_val = carry
-        p, v, i = inp
-        far = (i - last_pos) >= min_distance
-        keep = p & (far | (v > last_val))
-        last_pos = jnp.where(keep, i, last_pos)
-        last_val = jnp.where(keep, v, jnp.where(far, -jnp.inf, last_val))
-        return (last_pos, last_val), keep
+    # value-descending greedy dedup (peak_picking.rs:102-120): visit peaks
+    # from highest value; keep unless within min_distance of any kept peak
+    order = jnp.argsort(jnp.where(peaks, -xm, jnp.inf), axis=-1)  # [..., n]
 
-    b_shape = x.shape[:-1]
-    init = (
-        jnp.full(b_shape, -(10**9)),
-        jnp.full(b_shape, -jnp.inf),
-    )
-    pt = jnp.moveaxis(peaks, -1, 0)
-    vt = jnp.moveaxis(x, -1, 0)
-    _, keeps = jax.lax.scan(step, init, (pt, vt, jnp.arange(n)))
-    return jnp.moveaxis(keeps, 0, -1) & peaks
+    def step(kept, j):
+        i = jnp.take_along_axis(order, j[None].reshape((1,) * (kept.ndim - 1) + (1,)), axis=-1)[..., 0]
+        is_peak = jnp.take_along_axis(peaks, i[..., None], axis=-1)[..., 0]
+        near = jnp.any(kept & (jnp.abs(idx - i[..., None]) < min_distance), axis=-1)
+        keep = is_peak & ~near
+        kept = kept | (keep[..., None] & (idx == i[..., None]))
+        return kept, None
+
+    kept0 = jnp.zeros_like(peaks)
+    kept, _ = jax.lax.scan(step, kept0, jnp.arange(n))
+    return kept

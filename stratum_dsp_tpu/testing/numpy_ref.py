@@ -1479,3 +1479,44 @@ def log_frequency_frame_np(frame, sample_rate: int, fft_size: int,
             if hi != lo:
                 out[hi] += mag * w_hi
     return out
+
+
+def find_peaks_np(signal, threshold: float, min_distance: int):
+    """Literal port of peak_picking.rs:39-120. Returns [(idx, value)] in the
+    post-dedup order (value-descending when min_distance > 0)."""
+    signal = np.asarray(signal, np.float64)
+    if len(signal) < 3:
+        return []
+    mx = max(signal.max(initial=0.0), 0.0)
+    thr = mx * threshold if (0.0 < threshold < 1.0 and mx > 0.0) else threshold
+    if mx < 1e-10:
+        return []
+    peaks = []
+    for i in range(1, len(signal) - 1):
+        if signal[i] > signal[i - 1] and signal[i] > signal[i + 1] and signal[i] >= thr:
+            peaks.append((i, signal[i]))
+    if len(signal) >= 2:
+        if signal[0] > signal[1] and signal[0] >= thr:
+            peaks.append((0, signal[0]))
+        last = len(signal) - 1
+        if signal[last] > signal[last - 1] and signal[last] >= thr:
+            peaks.append((last, signal[last]))
+    if min_distance > 0 and len(peaks) > 1:
+        peaks.sort(key=lambda p: -p[1])
+        kept = []
+        for i, v in peaks:
+            if not any(abs(i - j) < min_distance for j, _ in kept):
+                kept.append((i, v))
+        peaks = kept
+    return peaks
+
+
+def adaptive_threshold_median_mad_np(values, k: float) -> float:
+    """Global median + k*MAD with even-length middle averaging
+    (threshold.rs:30-72)."""
+    s = np.sort(np.asarray(values, np.float64))
+    n = len(s)
+    med = (s[n // 2 - 1] + s[n // 2]) * 0.5 if n % 2 == 0 else s[n // 2]
+    d = np.sort(np.abs(np.asarray(values, np.float64) - med))
+    mad = (d[n // 2 - 1] + d[n // 2]) * 0.5 if n % 2 == 0 else d[n // 2]
+    return float(med + k * mad)
