@@ -166,6 +166,13 @@ def drum_track(
                 _place(out, bt, kick, vel(accent), sr)
             else:
                 _place(out, bt, snare, vel(0.7), sr)
+        elif pattern == "halftime":
+            # half-time feel (dubstep/trap): kick on 1, snare on 3 only —
+            # event rate is HALF the tempo, the trap_low bait (lib.rs:412-459)
+            if in_bar == 0:
+                _place(out, bt, kick, vel(accent), sr)
+            elif in_bar == 2:
+                _place(out, bt, snare, vel(0.75), sr)
         if pattern != "plain" and in_bar == 0 and (i // 4) % 4 == 0:
             _place(out, bt, open_hat, 0.2, sr)  # bar-group marker
         if hats == "offbeat":
@@ -406,6 +413,13 @@ def battery_specs() -> List[TrackSpec]:
     # fold tests)
     for b in (85, 88, 92, 95, 98, 100):
         drum(f"sixteenth_{b}bpm", "sixteenth_bait", float(b), hats="sixteenth")
+
+    # --- half-time feel at true 130-160 (kick 1 / snare 3, 8th hats carry
+    # the true pulse): event sparsity baits half-tempo detections — the
+    # trap_low zone (55-80) from the correct side
+    for b in (130, 140, 150, 160):
+        drum(f"halftime_{b}bpm", "halftime_bait", float(b), pattern="halftime",
+             hats="eighths")
 
     # --- gentle tempo ramps (<=5%): GT = mean beat rate
     ramps = [(117, 123), (87, 93), (132, 126), (68, 72), (166, 174),
