@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Analyze a batch of audio files (JSONL out)")
     p.add_argument("paths", nargs="+", help="audio files")
     p.add_argument("-o", "--output", default="-", help="JSONL output path (default stdout)")
-    p.add_argument("--batch-size", type=int, default=8, help="tracks per device batch")
+    p.add_argument("--batch-size", type=int, default=40,
+                   help="tracks per device batch (40 = the measured v5e "
+                        "throughput knee; see BENCH_NOTES.md)")
     p.add_argument("--target-sample-rate", type=int, default=44100)
     p.add_argument("--decode-threads", type=int, default=0, help="0 = CPU count - 1")
     p.add_argument("--max-onsets", type=int, default=2048)

@@ -152,7 +152,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("batch_csv")
     p.add_argument("--out", default=None, help="per-track results CSV (appended incrementally)")
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="skip tracks already present in --out")
