@@ -42,11 +42,6 @@ HEAVY_FIRST = [
     "test_key.py",
 ]
 
-SUMMARY_RE = re.compile(
-    r"(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?(?:, )?(?:(\d+) failed)?"
-)
-
-
 def shard_sort_key(p: Path):
     try:
         return (HEAVY_FIRST.index(p.name), p.name)

@@ -110,10 +110,14 @@ def analyze_batch_arrays(
 
     # --- Phase 1A: preprocessing (lib.rs:112-147) ---
     if cfg.enable_normalization:
+        # LUFS K-weighting stays f32 even when stft_bf16 is on: the bf16
+        # measurement pass was perf-FLAT end-to-end (BENCH_NOTES round 4),
+        # so there is no reason to carry its ~0.02 dB LUFS drift vs the f32
+        # reference path (normalization.rs:185-259).
         samples, _norm_meta = norm.normalize(
             samples, lengths, cfg.normalization, sample_rate,
             target_loudness_lufs=-14.0, max_headroom_db=1.0,
-            bf16=cfg.stft_bf16,
+            bf16=False,
         )
     if cfg.enable_silence_trimming:
         samples, lengths, sil_info = sil.detect_and_trim(

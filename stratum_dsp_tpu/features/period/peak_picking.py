@@ -58,8 +58,18 @@ def find_peaks(
         return peaks
 
     # value-descending greedy dedup (peak_picking.rs:102-120): visit peaks
-    # from highest value; keep unless within min_distance of any kept peak
-    order = jnp.argsort(jnp.where(peaks, -xm, jnp.inf), axis=-1)  # [..., n]
+    # from highest value; keep unless within min_distance of any kept peak.
+    # Exact-value ties follow the reference's STABLE sort over its insertion
+    # order — interior peaks (ascending index), then index 0, then the last
+    # index (edge peaks are pushed after the interior loop,
+    # peak_picking.rs:87-100) — encoded as a secondary lexsort rank.
+    visit_rank = jnp.where(
+        idx == 0, n, jnp.where(idx == n_valid - 1, n + 1, idx)
+    )
+    order = jnp.lexsort(
+        (jnp.broadcast_to(visit_rank, xm.shape), jnp.where(peaks, -xm, jnp.inf)),
+        axis=-1,
+    )  # [..., n]
 
     def step(kept, j):
         i = jnp.take_along_axis(order, j[None].reshape((1,) * (kept.ndim - 1) + (1,)), axis=-1)[..., 0]

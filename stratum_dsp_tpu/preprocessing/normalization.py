@@ -94,7 +94,9 @@ def k_weighting_filter(
     The filter output feeds ONLY the LUFS energy measurement (the gain is
     applied to the raw samples), so with ``bf16`` the matmul runs one bf16
     pass: ~0.4% worst-case energy error == ~0.02 dB LUFS, far inside the
-    1 dB headroom logic. Off by default so CPU parity tests stay f32."""
+    1 dB headroom logic. Off by default AND off in the production pipeline
+    (pipeline.py passes bf16=False: the bf16 pass measured perf-FLAT, see
+    BENCH_NOTES round 4); kept as an opt-in measurement knob."""
     b, t = samples.shape
     blk = KWEIGHT_FIR_TAPS
     nb = -(-t // blk)

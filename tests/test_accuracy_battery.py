@@ -1,12 +1,12 @@
 """Accuracy-floor regression on a battery subset (exact, no family
 tolerance).
 
-The full 316-track battery runs on TPU via ``validation/tools/run_battery.py``
-and its results are committed as ``ACCURACY_r4.json``; this test pins a
-representative 10-track subset in-suite so an accuracy regression (a knife-
-edge threshold drifting, a fold gate flipping) fails CI, mirroring the
-reference's exact integration asserts (integration_tests.rs:47-275) at
-battery scale.
+The full battery (``len(battery_specs())`` tracks, 326 as of round 5) runs
+on TPU via ``validation/tools/run_battery.py`` and its results are committed
+as ``ACCURACY_r*.json``; this test pins a representative ``len(SUBSET)``-track
+subset in-suite so an accuracy regression (a knife-edge threshold drifting,
+a fold gate flipping) fails CI, mirroring the reference's exact integration
+asserts (integration_tests.rs:47-275) at battery scale.
 
 Every pick is solidly inside the passing set (core tempo range, clean keys)
 — away from the documented convention edges (>=170 folds, +-30c detunes).

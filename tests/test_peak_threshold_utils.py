@@ -38,6 +38,21 @@ def test_find_peaks_edges_and_value_dedup():
     assert 4 not in got           # 3.0 is within 3 of the higher 9.0
 
 
+def test_find_peaks_exact_tie_visit_order():
+    # EXACT value tie between an edge peak and a nearby interior peak: the
+    # reference's stable value sort visits interior peaks (pushed first,
+    # ascending index) before edge peaks (pushed after the interior loop,
+    # peak_picking.rs:87-100), so the interior peak wins the dedup slot even
+    # though the edge peak has the lower index.
+    x = np.array([7.0, 1.0, 7.0, 1.0, 0.5], np.float32)  # ties at idx 0 and 2
+    want = sorted(i for i, _ in ref.find_peaks_np(x, 0.0, 3))
+    got = sorted(np.nonzero(np.asarray(find_peaks(
+        jnp.asarray(x[None]), jnp.ones((1, 5), bool), 0.0, 3
+    )[0]))[0].tolist())
+    assert want == [2], want  # sanity: the port keeps the interior peak
+    assert got == want
+
+
 def test_threshold_median_mad_parity():
     rng = np.random.default_rng(7)
     for n in (5, 6, 33, 64):
