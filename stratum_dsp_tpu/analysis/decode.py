@@ -73,6 +73,27 @@ def decode_results(out: Dict, sample_rate: int) -> List[AnalysisResult]:
                 if host["cand_valid"][i, j]
             ]
 
+        # Per-track method list from the pipeline's actual decision booleans.
+        # The reference hardcodes exactly three entries (lib.rs:1605-1609);
+        # those stay for schema compatibility, and the escalation/fallback
+        # paths that actually ran (consensus, multi-res, percussive, legacy
+        # — lib.rs:1613-1617 only exposes them as separate booleans) are
+        # appended so the list is truthful per track.
+        methods = ["energy_flux"]
+        if host.get("onset_consensus_used") is not None and bool(
+            host["onset_consensus_used"][i]
+        ):
+            methods.append("onset_consensus")
+        if host.get("legacy_used") is not None and bool(host["legacy_used"][i]):
+            methods.append("legacy_autocorr_comb")
+        elif host["bpm"][i] > 0.0:
+            methods.append("tempogram")
+        if host["multi_res_used"][i]:
+            methods.append("multi_resolution")
+        if host["percussive_used"][i]:
+            methods.append("percussive_fallback")
+        methods += ["chroma_extraction", "key_detection"]
+
         meta = AnalysisMetadata(
             duration_seconds=float(host["duration_seconds"][i]),
             sample_rate=sample_rate,
@@ -80,7 +101,7 @@ def decode_results(out: Dict, sample_rate: int) -> List[AnalysisResult]:
             if "processing_time_ms" in host
             else 0.0,
             onset_method_consensus=1.0 if host["onset_count"][i] > 0 else 0.0,
-            methods_used=["energy_flux", "chroma_extraction", "key_detection"],
+            methods_used=methods,
             flags=flags,
             confidence_warnings=warnings,
             tempogram_candidates=cands,

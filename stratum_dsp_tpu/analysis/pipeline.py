@@ -160,6 +160,7 @@ def analyze_batch_arrays(
 
     # --- onset consensus (lib.rs:176-291) ---
     onsets_pos, onsets_valid = e_pos, e_valid
+    consensus_used = jnp.zeros((b,), bool)
     if cfg.enable_onset_consensus:
         sflux = feats["onset_sflux"][:, 1:]
         s_pos, s_valid = flux_onsets_from_curve(
@@ -192,6 +193,7 @@ def analyze_batch_arrays(
         use_consensus = jnp.any(c_valid, axis=-1)
         onsets_pos = jnp.where(use_consensus[:, None], c_pos, e_pos)
         onsets_valid = jnp.where(use_consensus[:, None], c_valid, e_valid)
+        consensus_used = use_consensus
 
     if debug_stop_after == "onsets":
         return {"pos": onsets_pos, "valid": onsets_valid}
@@ -411,6 +413,9 @@ def analyze_batch_arrays(
 
     bpm = jnp.where(track_ok, bpm, 0.0)
     bpm_confidence = jnp.where(track_ok, bpm_confidence, 0.0)
+    # The final BPM came from the legacy autocorr+comb chain (forced, or the
+    # tempogram fallback path lib.rs:894-899) rather than the tempogram.
+    legacy_used = track_ok & (bpm > 0.0) & ~tempo_valid
 
     if debug_stop_after == "bpm_select":
         return {"bpm": bpm, "conf": bpm_confidence}
@@ -464,6 +469,8 @@ def analyze_batch_arrays(
         "has_tempo_variation": grid.has_tempo_variation,
         "duration_seconds": duration_s,
         "onset_count": jnp.sum(onsets_valid, axis=-1),
+        "onset_consensus_used": consensus_used,
+        "legacy_used": legacy_used,
         "multi_res_triggered": mr_triggered,
         "multi_res_used": mr_used,
         "percussive_triggered": perc_needed & jnp.asarray(cfg.enable_tempogram_percussive_fallback),

@@ -162,6 +162,7 @@ class AnalysisResult:
             "sample_rate": self.metadata.sample_rate,
             "processing_time_ms": self.metadata.processing_time_ms,
             "flags": list(self.metadata.flags),
+            "methods_used": list(self.metadata.methods_used),
             "confidence_warnings": list(self.metadata.confidence_warnings),
             "tempogram_multi_res_triggered": self.metadata.tempogram_multi_res_triggered,
             "tempogram_multi_res_used": self.metadata.tempogram_multi_res_used,

@@ -93,6 +93,30 @@ def test_camelot_roundtrip():
         assert Key.from_numerical(k.numerical()) == k
 
 
+def test_methods_used_reflects_pipeline_booleans(fixture_results):
+    """methods_used is populated from the per-track decision booleans (the
+    reference only hardcodes three entries, lib.rs:1605-1609; ours keeps
+    those and appends the paths that actually ran) and round-trips through
+    to_dict()."""
+    for r in fixture_results[:3]:  # skip the all-silent-trim edge track
+        m = r.metadata
+        assert m.methods_used[0] == "energy_flux"
+        assert "chroma_extraction" in m.methods_used
+        assert "key_detection" in m.methods_used
+        # exactly one BPM source is claimed, and escalation entries mirror
+        # the booleans
+        assert ("tempogram" in m.methods_used) != (
+            "legacy_autocorr_comb" in m.methods_used
+        ) or r.bpm == 0.0
+        assert ("multi_resolution" in m.methods_used) == bool(
+            m.tempogram_multi_res_used
+        )
+        assert ("percussive_fallback" in m.methods_used) == bool(
+            m.tempogram_percussive_used
+        )
+        assert r.to_dict()["methods_used"] == m.methods_used
+
+
 def test_escalation_subbatch_invariance():
     """Per-track results must not depend on batch composition.
 
