@@ -56,22 +56,43 @@ def main() -> int:
     caps = PipelineCaps(chunk_frames=chunk) if chunk else PipelineCaps()
 
     t = int(TRACK_SECONDS * SR)
-    # seeds stay below the >=170 fold-down region (tempogram.rs:669-699,
-    # multi_resolution.rs:698-724) so EXACT +-2 accuracy is the right bar
-    # here; trap-zone behavior is measured by the accuracy battery instead
-    # (validation/tools/run_battery.py).
+    # CLEAN mix: seeds stay below the >=170 fold-down region
+    # (tempogram.rs:669-699, multi_resolution.rs:698-724) so EXACT +-2
+    # accuracy is the right bar; ~12% of seeds escalate. This is the
+    # flattering case and is reported as `value` for round-over-round
+    # continuity.
     bpms = np.linspace(80.0, 168.0, batch)
+    # ADVERSARIAL mix: ~30% of tracks inside the 55-80 / 170-200 trap zones
+    # (the ambiguity gate's escalation triggers, lib.rs:412-459), matching
+    # the measured real-world sensitivity point (BENCH_NOTES round 4:
+    # 118 -> 108 tracks/s at 10% -> 35% mr_used). The reference reports its
+    # latency percentiles on real tracks (PHASE_1F_BENCHMARKS.md:66-83);
+    # this mix is the synthetic stand-in, reported as `value_adversarial` —
+    # quote THIS number for perf claims. Trap-high seeds legitimately fold
+    # to half per the reference's >=170 convention, so the accuracy bar is
+    # exact on core seeds + family-exact on trap seeds.
+    # Core seeds are ROUNDED to integers: fractional seeds can land on
+    # genuine half-time knife edges of a pure 3-min kick train (measured:
+    # 149.56 -> 74.0 while 149.0 and 150.0 are exact — the base tempogram's
+    # 0.55/0.45 score is near-tied for a subdivision-free click train), and
+    # a regression GATE needs seeds that pass at HEAD.
+    n_trap = max(2, int(round(0.30 * batch)))
+    lo = np.round(np.linspace(56.0, 79.0, n_trap // 2))
+    hi = np.round(np.linspace(172.0, 199.0, n_trap - n_trap // 2))
+    adv_bpms = np.concatenate(
+        [np.round(np.linspace(85.0, 168.0, batch - n_trap)), lo, hi]
+    )
     # synthesize ON DEVICE: the tunnel's host->device path runs at ~8 MB/s,
     # so shipping the [B, 7.9M] batch would dominate bench startup
-    sj = jax.jit(lambda x: kick_pattern_device(x, TRACK_SECONDS))(
-        jax.device_put(bpms.astype(np.float32))
-    )
+    synth = jax.jit(lambda x: kick_pattern_device(x, TRACK_SECONDS))
+    sj = synth(jax.device_put(bpms.astype(np.float32)))
     jax.block_until_ready(sj)
     lj = jax.device_put(np.full((batch,), t, np.int32))
 
     fn = jax.jit(analyze_batch_arrays, static_argnames=("cfg", "sample_rate", "caps"))
 
-    # warmup / compile
+    # warmup / compile (the adversarial mix reuses this executable: same
+    # shapes, and every escalation tier is compiled into the lax.switch)
     out = fn(sj, lj, cfg=cfg, sample_rate=SR, caps=caps)
     jax.block_until_ready(out)
 
@@ -106,10 +127,6 @@ def main() -> int:
     # Donating x lets PJRT reuse each input buffer for the next rep once its
     # analyze dispatch has consumed it, so only ~2 inputs are live.
     perturb = jax.jit(lambda x, eps: x + eps, donate_argnums=0)
-    # alternate signs so the chained DC stays bounded ~1e-3 (each step still
-    # moves every sample by >= 1e-5 > ulp, defeating the tunnel dedup)
-    epss = [np.float32(rng.uniform(1e-5, 1e-3)) * (1 if r % 2 == 0 else -1)
-            for r in range(reps)]
 
     # BENCH_TRACE=<dir>: capture a jax.profiler trace of the timed reps
     # (device ops are visible on a locally-attached TPU; the axon tunnel
@@ -117,32 +134,43 @@ def main() -> int:
     import contextlib
 
     trace_dir = os.environ.get("BENCH_TRACE", "")
-    tracer = jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
 
-    # Throughput is measured on a PIPELINED stream of batches, the way the
-    # batch CLI runs in production: dispatch every rep asynchronously (JAX
-    # async dispatch queues them on the device back-to-back), then read all
-    # results. A synchronous per-rep loop instead pays the tunnel's ~28 ms
-    # dispatch+readback round-trip per batch, which production streaming
-    # overlaps with device compute. Rep 0 (timed separately) absorbs
-    # one-time tunnel costs; the stream clock starts after it completes.
-    rep_times = []
-    with tracer:
-        t0 = time.time()
-        x = perturb(sj, epss[0])
-        out0 = fn(x, lj, cfg=cfg, sample_rate=SR, caps=caps)
-        np.asarray(out0["bpm"])  # host readback forces true completion
-        rep_times.append(time.time() - t0)
-        t0 = time.time()
-        outs = []
-        for eps in epss[1:]:
-            x = perturb(x, eps)  # donates the previous buffer
-            outs.append(fn(x, lj, cfg=cfg, sample_rate=SR, caps=caps))
-        out = outs[-1]
-        for o in outs:
-            np.asarray(o["bpm"])
-        stream_dt = time.time() - t0
-    dt = stream_dt / max(reps - 1, 1)
+    def run_mix(seed_track, trace=False):
+        # Throughput is measured on a PIPELINED stream of batches, the way
+        # the batch CLI runs in production: dispatch every rep
+        # asynchronously (JAX async dispatch queues them on the device
+        # back-to-back), then read all results. A synchronous per-rep loop
+        # instead pays the tunnel's ~28 ms dispatch+readback round-trip per
+        # batch, which production streaming overlaps with device compute.
+        # Rep 0 (untimed) absorbs one-time tunnel costs; the stream clock
+        # starts after it completes.
+        epss = [
+            np.float32(rng.uniform(1e-5, 1e-3)) * (1 if r % 2 == 0 else -1)
+            for r in range(reps)
+        ]
+        tracer = (
+            jax.profiler.trace(trace_dir)
+            if (trace_dir and trace)
+            else contextlib.nullcontext()
+        )
+        with tracer:
+            x = perturb(seed_track, epss[0])
+            out0 = fn(x, lj, cfg=cfg, sample_rate=SR, caps=caps)
+            np.asarray(out0["bpm"])  # host readback forces true completion
+            t0 = time.time()
+            outs = []
+            for eps in epss[1:]:
+                x = perturb(x, eps)  # donates the previous buffer
+                outs.append(fn(x, lj, cfg=cfg, sample_rate=SR, caps=caps))
+            for o in outs:
+                np.asarray(o["bpm"])
+            stream_dt = time.time() - t0
+        return stream_dt / max(reps - 1, 1), outs[-1]
+
+    dt, out = run_mix(sj, trace=True)
+    adv_sj = synth(jax.device_put(adv_bpms.astype(np.float32)))
+    jax.block_until_ready(adv_sj)
+    adv_dt, adv_out = run_mix(adv_sj)
 
     n_dev = jax.device_count()
     tracks_per_sec = batch / dt
@@ -185,24 +213,43 @@ def main() -> int:
             )
         )
 
-    # sanity: BPM should be EXACTLY the seeded values (+-2); family-tolerant
-    # accuracy is also reported for trend continuity with earlier rounds
+    # CLEAN-mix sanity: BPM must be EXACTLY the seeded values (+-2). Exact
+    # is the GATE (a fold-gate regression flipping a track to its 2x family
+    # member must fail the bench); family accuracy stays as telemetry only.
     got = np.asarray(out["bpm"])
     err = np.abs(got - bpms)
     exact_accuracy = float(np.mean(err <= 2.0))
     fam_ok = np.minimum.reduce([err, np.abs(got - 2 * bpms), np.abs(got - 0.5 * bpms)])
     accuracy = float(np.mean(fam_ok < 2.0))
 
+    # ADVERSARIAL-mix accuracy: trap-high seeds fold to half by the
+    # reference's >=170 convention, so the bar is exact on core seeds
+    # ([85,170)) and family-exact everywhere.
+    adv_got = np.asarray(adv_out["bpm"])
+    adv_err = np.abs(adv_got - adv_bpms)
+    adv_fam = np.minimum.reduce(
+        [adv_err, np.abs(adv_got - 2 * adv_bpms), np.abs(adv_got - 0.5 * adv_bpms)]
+    )
+    core = (adv_bpms >= 85.0) & (adv_bpms < 170.0)
+    adv_exact_core = float(np.mean(adv_err[core] <= 2.0))
+    adv_family = float(np.mean(adv_fam < 2.0))
+
+    adv_per_chip = batch / adv_dt / max(n_dev, 1)
     rec = {
         "metric": "tracks_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "3min-tracks/s",
         "vs_baseline": round(per_chip / BASELINE_TRACKS_PER_SEC, 3),
+        "value_adversarial": round(adv_per_chip, 3),
+        "vs_baseline_adversarial": round(adv_per_chip / BASELINE_TRACKS_PER_SEC, 3),
         "batch": batch,
         "devices": n_dev,
         "batch_seconds": round(dt, 3),
+        "batch_seconds_adversarial": round(adv_dt, 3),
         "bpm_exact_accuracy": exact_accuracy,
         "bpm_family_accuracy": accuracy,
+        "adv_bpm_exact_core_accuracy": adv_exact_core,
+        "adv_bpm_family_accuracy": adv_family,
         "pallas_kernels_ok": kernels_ok,
     }
     # --- roofline: analytic FLOPs of the dominant MXU matmuls ---
@@ -232,13 +279,34 @@ def main() -> int:
     rec["analytic_flops_per_batch"] = float(flops_batch)
     rec["mfu_bf16_peak"] = round(flops_batch / dt / PEAK_BF16, 4)
     rec["escalated_tracks"] = n_mr
+    rec["escalated_tracks_adversarial"] = int(
+        np.sum(np.asarray(adv_out["multi_res_used"]))
+    ) if "multi_res_used" in adv_out else 0
     if cost_flops:
         rec["xla_costmodel_flops_lower_bound"] = cost_flops
     if cost_bytes:
         rec["xla_costmodel_hbm_gb_lower_bound"] = round(cost_bytes / 1e9, 2)
         rec["hbm_bw_util_lower_bound"] = round(cost_bytes / dt / PEAK_HBM, 4)
     print(json.dumps(rec))
-    return 0
+    # EXACT-FIRST regression gate: a decision regression (fold gate flip,
+    # escalation selection change) must fail the bench run, not just dent a
+    # telemetry field. Family accuracy is telemetry only.
+    gate_ok = (
+        exact_accuracy == 1.0 and adv_exact_core == 1.0 and adv_family == 1.0
+    )
+    if not gate_ok:
+        print(
+            f"BENCH GATE FAILED: clean_exact={exact_accuracy} "
+            f"adv_exact_core={adv_exact_core} adv_family={adv_family}",
+            file=sys.stderr,
+        )
+        bad = np.nonzero(err > 2.0)[0].tolist()
+        adv_bad = np.nonzero((adv_fam >= 2.0) | (core & (adv_err > 2.0)))[0].tolist()
+        for i in bad:
+            print(f"  clean seed {bpms[i]:.2f} -> {got[i]:.2f}", file=sys.stderr)
+        for i in adv_bad:
+            print(f"  adv seed {adv_bpms[i]:.2f} -> {adv_got[i]:.2f}", file=sys.stderr)
+    return 0 if gate_ok else 1
 
 
 if __name__ == "__main__":
