@@ -119,12 +119,14 @@ def analyze_batch_arrays(
             target_loudness_lufs=-14.0, max_headroom_db=1.0,
             bf16=False,
         )
+    trim_start = jnp.zeros((b,), jnp.int32)
     if cfg.enable_silence_trimming:
         samples, lengths, sil_info = sil.detect_and_trim(
             samples, lengths, sample_rate, cfg.min_amplitude_db,
             frame_size=cfg.frame_size, mesh=mesh,
         )
         track_ok = track_ok & ~sil_info["all_silent"]
+        trim_start = sil_info["trim_start"]
 
     duration_s = lengths.astype(jnp.float32) / sample_rate
 
@@ -421,10 +423,28 @@ def analyze_batch_arrays(
         return {"bpm": bpm, "conf": bpm_confidence}
     # --- beat grid (lib.rs:913-958) ---
     onset_seconds = onsets_pos.astype(jnp.float32) / sample_rate
+    anchor = None
+    if cfg.enable_beat_phase_search:
+        from ..features.beat.grid import search_phase_anchor
+
+        # Phase salience curve: low band + half mid, NOT the full-band
+        # SuperFlux. Broadband noise bursts (hi-hats) carry more full-band
+        # flux than kicks (measured on the battery: full-band novelty is
+        # 0.50 offbeat vs 0.38 on-beat on an offbeat-hat pattern, while the
+        # low band is 0.002 vs 0.74) — metric salience lives in the low
+        # (kick) and mid (snare) bands.
+        if "low" in curves:
+            phase_nov = curves["low"] + 0.5 * curves["mid"]
+        else:
+            phase_nov = curves["full"]
+        anchor = search_phase_anchor(
+            bpm, onset_seconds, onsets_valid & track_ok[:, None],
+            phase_nov, n_valid, frame_rate, caps.max_beats,
+        )
     grid = generate_beat_grid(
         bpm, bpm_confidence, onset_seconds, onsets_valid & track_ok[:, None],
         max_beats=caps.max_beats, seg_beat_cap=caps.seg_beat_cap,
-        max_segments=caps.max_segments,
+        max_segments=caps.max_segments, anchor=anchor,
     )
 
     if debug_stop_after == "grid":
@@ -468,6 +488,11 @@ def analyze_batch_arrays(
         "time_signature": grid.time_signature,
         "has_tempo_variation": grid.has_tempo_variation,
         "duration_seconds": duration_s,
+        # Leading-trim offset: beat/downbeat times are in TRIMMED-track
+        # coordinates (the reference analyzes trimmed samples, lib.rs:130-141
+        # — its grid has the same convention); validation tooling adds this
+        # back to score grids against original-coordinate ground truth.
+        "trim_start_seconds": trim_start.astype(jnp.float32) / sample_rate,
         "onset_count": jnp.sum(onsets_valid, axis=-1),
         "onset_consensus_used": consensus_used,
         "legacy_used": legacy_used,

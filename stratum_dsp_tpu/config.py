@@ -118,6 +118,24 @@ class AnalysisConfig:
     # every downstream discrete estimate (BPM family, key, beat phase) —
     # asserted end-to-end by tests/test_stft.py::test_bf16_pipeline_parity.
     stft_bf16: bool = True
+    # Extension (no reference counterpart), default ON: replace the beat
+    # grid's first-detected-onset phase anchor (hmm.rs:241-249) with a
+    # low-band-novelty phase search over one beat interval
+    # (features/beat/grid.py:search_phase_anchor). The reference convention
+    # phase-locks the whole grid to the offbeat whenever the first detected
+    # onset is not on-beat (e.g. the track-opening kick has no preceding
+    # baseline frame for the flux derivative and an offbeat hat is detected
+    # first) — measured at battery scale: mean beat F-measure 0.21 with the
+    # reference anchor vs ~0.9 with the search, identical BPM/key outputs.
+    # Set False for the reference-faithful anchor (the battery's secondary
+    # reference-anchor pass pins that baseline).
+    enable_beat_phase_search: bool = True
+    # Extension (default OFF for parity): accumulate the multi-res triplet
+    # beat-contrast grid at FLOAT period resolution instead of the
+    # reference's integer-frame comb (multi_resolution.rs:580-604), whose
+    # per-beat rounding drift loses fractional-BPM families (frac_113.6 ->
+    # 75.7 is reference-reproduced to 4 decimals).
+    beat_contrast_fractional: bool = False
 
     # --- Key detection (config.rs:238-587) ---
     center_frequency: float = 440.0

@@ -80,6 +80,90 @@ def grid_stability(times: jax.Array, n_beats: jax.Array):
     return jnp.where((n_beats >= 2) & (m >= 1) & (mean > 1e-10), stab, 0.0)
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def search_phase_anchor(
+    bpm: jax.Array,
+    onset_times: jax.Array,
+    onset_valid: jax.Array,
+    novelty: jax.Array,
+    novelty_n: jax.Array,
+    frame_rate: float,
+    max_beats: int,
+    n_offsets: int = 32,
+) -> jax.Array:
+    """Novelty-optimized beat-grid phase anchor ([B] seconds).
+
+    The reference anchors the grid at the FIRST detected onset
+    (hmm.rs:241-249), which phase-locks to the offbeat whenever the first
+    onset is not on-beat — measured on the synthetic battery: a track-
+    opening kick at t=0 has no preceding baseline frame for the flux
+    derivative, so the first *detected* onset is an offbeat eighth hat and
+    every downstream beat inherits its phase. This search instead scores
+    ``n_offsets`` candidate phases across one beat interval around the
+    first onset by the mean novelty at their grid positions (accented
+    on-beat events carry more spectral flux than offbeat hats — the same
+    signal the multi-res beat-contrast alignment uses,
+    multi_resolution.rs:580-678) and returns the best, with an epsilon
+    preference for the reference's own anchor on flat ties.
+    """
+    b = bpm.shape[0]
+    safe_bpm = jnp.where(bpm > EPSILON, bpm, 120.0)
+    interval = 60.0 / safe_bpm  # [B]
+    start = jnp.min(jnp.where(onset_valid, onset_times, 1e9), axis=-1)
+    start = jnp.where(jnp.any(onset_valid, axis=-1), start, 0.0)
+
+    offs = (jnp.arange(n_offsets, dtype=jnp.float32) / n_offsets - 0.5)  # [P]
+    anchors = start[:, None] + offs[None, :] * interval[:, None]  # [B, P]
+    k = jnp.arange(max_beats, dtype=jnp.float32)  # [MB]
+    grid = anchors[:, :, None] + k[None, None, :] * interval[:, None, None]
+    fidx = jnp.round(grid * frame_rate).astype(jnp.int32)  # [B, P, MB]
+    in_range = (fidx >= 0) & (fidx < novelty_n[:, None, None])
+    # 3-tap max over {f-1, f, f+1}: a novelty peak is 1-2 frames wide, so a
+    # single rounded-frame sample can fall one frame off the peak and read
+    # ~0 — the offset-grid quantization (interval / n_offsets ~ 16-20 ms)
+    # plus frame rounding (~11.6 ms at hop 512) exceeds the peak width
+    nmax = jnp.maximum(
+        novelty,
+        jnp.maximum(
+            jnp.concatenate([novelty[:, 1:], novelty[:, :1] * 0.0], axis=-1),
+            jnp.concatenate([novelty[:, :1] * 0.0, novelty[:, :-1]], axis=-1),
+        ),
+    )
+    fidx = jnp.clip(fidx, 0, novelty.shape[-1] - 1)
+    vals = jnp.take_along_axis(
+        nmax[:, None, :], jnp.reshape(fidx, (b, -1))[:, None, :], axis=-1
+    ).reshape(b, n_offsets, max_beats)
+    vals = jnp.where(in_range, vals, 0.0)
+    score = jnp.sum(vals, axis=-1) / jnp.maximum(
+        jnp.sum(in_range, axis=-1).astype(jnp.float32), 1.0
+    )  # [B, P]
+    # flat-tie preference for the reference anchor (offset 0): a relative
+    # epsilon bonus keeps parity when the novelty cannot separate phases
+    ref_j = n_offsets // 2  # offs[P/2] == 0.0
+    score = score.at[:, ref_j].mul(1.0 + 1e-4)
+    best = jnp.argmax(score, axis=-1)  # [B]
+    anchor = jnp.take_along_axis(anchors, best[:, None], axis=-1)[:, 0]
+    # snap to the nearest detected onset when one sits within a quarter
+    # interval: onset positions (~hop precision) are sharper than the
+    # offset grid (interval / n_offsets) + novelty frame quantization, and
+    # the reference's grid is onset-anchored by construction
+    k_on = onset_times.shape[-1]
+    o_sorted = jnp.where(onset_valid, onset_times, 1e9)
+    n_on = jnp.sum(onset_valid, axis=-1)
+
+    def nearest(a, o, nv):
+        i = jnp.searchsorted(o, a)
+        lo = jnp.clip(i - 1, 0, k_on - 1)
+        hi = jnp.clip(i, 0, k_on - 1)
+        d_lo = jnp.where(i > 0, jnp.abs(a - o[lo]), 1e9)
+        d_hi = jnp.where(i < nv, jnp.abs(a - o[hi]), 1e9)
+        t = jnp.where(d_lo <= d_hi, o[lo], o[hi])
+        return t, jnp.minimum(d_lo, d_hi)
+
+    snap_t, snap_d = jax.vmap(nearest)(anchor, o_sorted, n_on)
+    return jnp.where(snap_d < interval * 0.25, snap_t, anchor)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def generate_beat_grid(
     bpm: jax.Array,
@@ -89,6 +173,7 @@ def generate_beat_grid(
     max_beats: int = 1024,
     seg_beat_cap: int = 64,
     max_segments: int = 48,
+    anchor: jax.Array | None = None,
 ) -> BeatGridTensor:
     """Full grid generation for a batch (mod.rs:108-250).
 
@@ -99,7 +184,9 @@ def generate_beat_grid(
     n_onsets = jnp.sum(onset_valid, axis=-1)
     ok = (bpm > 0.0) & (bpm <= 300.0) & (n_onsets >= 1)
 
-    beats, _states = hmm.track_beats(bpm, onset_times, onset_valid, max_beats)
+    beats, _states = hmm.track_beats(
+        bpm, onset_times, onset_valid, max_beats, anchor
+    )
     any_beats = jnp.any(beats.valid, axis=-1)
     ok = ok & any_beats
 

@@ -83,12 +83,20 @@ def track_beats(
     onset_times: jax.Array,
     onset_valid: jax.Array,
     max_beats: int,
+    anchor: jax.Array | None = None,
 ):
     """Track beats for a batch. Returns (BeatTensor, states [B, MB] int32).
 
     ``bpm [B]`` nominal tempo; ``onset_times [B, K]`` seconds (sorted,
     masked). Tracks with < 1 valid onset or invalid BPM yield empty beats
     (the reference errors; we mask, hmm.rs:122-133).
+
+    ``anchor`` ([B] seconds, optional) overrides the grid's phase anchor.
+    Default (None) is the reference convention — the first detected onset
+    (hmm.rs:241-249) — whose phase is wrong whenever the first onset is not
+    on-beat (e.g. a track-opening event missed by the flux derivative and
+    an offbeat hat detected first). ``enable_beat_phase_search`` supplies a
+    novelty-optimized anchor instead.
     """
     b = bpm.shape[0]
     n_onsets = jnp.sum(onset_valid, axis=-1)
@@ -98,6 +106,8 @@ def track_beats(
     beat_interval = 60.0 / safe_bpm  # [B]
     start = jnp.min(jnp.where(onset_valid, onset_times, BIG), axis=-1)
     end = jnp.max(jnp.where(onset_valid, onset_times, -BIG), axis=-1)
+    if anchor is not None:
+        start = anchor
     start = jnp.where(ok, start, 0.0)
     end = jnp.where(ok, end, 0.0)
     num_frames = jnp.ceil(jnp.maximum(end - start, 0.0) / beat_interval).astype(jnp.int32) + 1

@@ -359,6 +359,38 @@ class TrackSpec:
             return combined_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
         raise ValueError(self.kind)
 
+    def beat_ground_truth(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Exact (beats, downbeats) in ORIGINAL-track seconds, or None for
+        chord-only tracks (no rhythmic grid to score).
+
+        These are the exact event times the renderers place audio at
+        (``drum_track``/``combined_track`` iterate this same grid), so they
+        are exact ground truth for beat-tracking metrics — the battery-scale
+        analogue of the reference's per-interval grid asserts
+        (``/root/reference/tests/integration_tests.rs:47-275``).
+
+        Beats inside zeroed intro/outro regions (``intro=`` modes silence
+        the first/last 2 s outright) never produce sound and are excluded:
+        no tracker can evidence them.
+        """
+        if self.kind == "chord":
+            return None
+        bpm = float(self.params["bpm"])
+        ramp_to = self.params.get("ramp_to")
+        beats = (
+            ramp_beats(bpm, float(ramp_to), self.duration_s)
+            if ramp_to is not None
+            else steady_beats(bpm, self.duration_s)
+        )
+        # downbeats: the bar-start accents the renderer places (in_bar == 0)
+        downbeats = beats[::4]
+        intro = self.params.get("intro", "none")
+        lo = 2.0 if intro in ("quiet", "both") else 0.0
+        hi = self.duration_s - (2.0 if intro in ("outro", "both") else 0.0)
+        audible = (beats >= lo) & (beats < hi)
+        d_audible = (downbeats >= lo) & (downbeats < hi)
+        return beats[audible], downbeats[d_audible]
+
 
 def _key_name(tonic: int, is_major: bool) -> str:
     return NOTE_NAMES[tonic] + ("" if is_major else "m")

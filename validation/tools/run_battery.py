@@ -29,6 +29,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
 
 from stratum_dsp_tpu.testing.battery import SAMPLE_RATE, battery_specs  # noqa: E402
+from validation._beats import score_beats  # noqa: E402
 from validation._keys import keys_equal, parse_key  # noqa: E402
 from validation.tools import run_validation  # noqa: E402
 
@@ -59,15 +60,21 @@ def synthesize_corpus(specs, wav_dir: Path, force: bool = False) -> None:
 
 
 def write_batch_csv(specs, wav_dir: Path, csv_path: Path) -> None:
+    # beats/downbeats columns: the exact synthesis-time grids (JSON lists,
+    # original-track seconds) so the GT CSV is self-contained for grid
+    # scoring; run_validation ignores the extra columns.
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["file", "bpm", "key", "family"])
+        w.writerow(["file", "bpm", "key", "family", "beats", "downbeats"])
         for spec in specs:
+            gt = spec.beat_ground_truth()
             w.writerow([
                 str(wav_dir / f"{spec.name}.wav"),
                 f"{spec.gt_bpm:.4f}" if spec.gt_bpm is not None else "",
                 spec.gt_key or "",
                 spec.family,
+                json.dumps([round(t, 4) for t in gt[0]]) if gt else "",
+                json.dumps([round(t, 4) for t in gt[1]]) if gt else "",
             ])
 
 
@@ -84,11 +91,12 @@ def score_by_family(specs, results_csv: Path) -> dict:
 
     fams: dict = {}
     overall = dict(n=0, analyzed=0, n_bpm=0, hit2=0, hit5=0, errs=[],
-                   n_key=0, key_hits=0)
-    worst_bpm, worst_key = [], []
+                   n_key=0, key_hits=0, grid=[])
+    worst_bpm, worst_key, worst_grid = [], [], []
     for spec in specs:
         fam = fams.setdefault(spec.family, dict(
-            n=0, analyzed=0, n_bpm=0, hit2=0, hit5=0, errs=[], n_key=0, key_hits=0))
+            n=0, analyzed=0, n_bpm=0, hit2=0, hit5=0, errs=[], n_key=0,
+            key_hits=0, grid=[]))
         fam["n"] += 1
         overall["n"] += 1
         rec = recs.get(spec.name)
@@ -112,6 +120,16 @@ def score_by_family(specs, results_csv: Path) -> dict:
                 s["key_hits"] += ok
             if not ok:
                 worst_key.append((spec.name, spec.gt_key, rec["key"]))
+        gt = spec.beat_ground_truth()
+        if gt is not None and rec.get("beats"):
+            sc = score_beats(
+                gt[0], gt[1],
+                json.loads(rec["beats"]), json.loads(rec["downbeats"] or "[]"),
+            )
+            for s in (fam, overall):
+                s["grid"].append(sc)
+            if sc["beat_f"] < 0.9:
+                worst_grid.append((sc["beat_f"], spec.name, round(sc["beat_amlt"], 3)))
 
     def fmt(s):
         out = {"n": s["n"], "analyzed": s["analyzed"]}
@@ -124,6 +142,15 @@ def score_by_family(specs, results_csv: Path) -> dict:
             )
         if s["n_key"]:
             out.update(key_acc=_acc(s["key_hits"], s["n_key"]), n_key=s["n_key"])
+        if s.get("grid"):
+            g = s["grid"]
+            out.update(
+                n_grid=len(g),
+                beat_f=round(float(np.mean([x["beat_f"] for x in g])), 4),
+                beat_cmlt=round(float(np.mean([x["beat_cmlt"] for x in g])), 4),
+                beat_amlt=round(float(np.mean([x["beat_amlt"] for x in g])), 4),
+                downbeat_f=round(float(np.mean([x["downbeat_f"] for x in g])), 4),
+            )
         return out
 
     # core-range subset: GT tempo inside the reference's convention zone
@@ -145,6 +172,7 @@ def score_by_family(specs, results_csv: Path) -> dict:
             core["errs"].append(d)
 
     worst_bpm.sort(reverse=True)
+    worst_grid.sort()
     return {
         "overall": fmt(overall),
         "bpm_core_85_170": fmt(core),
@@ -155,6 +183,10 @@ def score_by_family(specs, results_csv: Path) -> dict:
         ],
         "key_misses": [
             {"name": n, "gt": g, "pred": p} for n, g, p in sorted(worst_key)
+        ],
+        "grid_worst": [
+            {"name": n, "beat_f": round(f, 3), "beat_amlt": a}
+            for f, n, a in worst_grid[:40]
         ],
     }
 
@@ -174,6 +206,12 @@ def main(argv=None) -> int:
     p.add_argument("--tc", action="store_true",
                    help="also run the key_detuned* families with "
                         "--enable-key-tuning-compensation, reported as *_tc")
+    p.add_argument("--ra", action="store_true",
+                   help="also run the grid-scored families with "
+                        "--enable-beat-phase-search false (the reference's "
+                        "first-onset anchor, hmm.rs:241-249), reported as "
+                        "*_refanchor — pins the reference-faithful baseline "
+                        "next to the default phase-search numbers")
     args, extra = p.parse_known_args(argv)
     if extra and extra[0] == "--":
         extra = extra[1:]
@@ -195,7 +233,7 @@ def main(argv=None) -> int:
     results_csv.parent.mkdir(parents=True, exist_ok=True)
     if not args.score_only:
         rv_args = [str(batch_csv), "--out", str(results_csv),
-                   "--batch-size", str(args.batch_size)]
+                   "--batch-size", str(args.batch_size), "--emit-beats"]
         if args.resume:
             rv_args.append("--resume")
         run_validation.main(rv_args + extra)
@@ -217,6 +255,26 @@ def main(argv=None) -> int:
             tc_summary = score_by_family(tc_specs, tc_out)
             for fam, s in tc_summary["families"].items():
                 summary["families"][fam + "_tc"] = s
+
+    if args.ra:
+        # second pass: the reference's first-onset grid anchor, so the
+        # improvement (and the reference-faithful baseline) are both pinned
+        ra_specs = [s for s in specs if s.beat_ground_truth() is not None]
+        if ra_specs:
+            ra_csv = wav_dir / "battery_ra.csv"
+            write_batch_csv(ra_specs, wav_dir, ra_csv)
+            ra_out = results_csv.with_name(results_csv.stem + "_ra.csv")
+            run_validation.main(
+                [str(ra_csv), "--out", str(ra_out),
+                 "--batch-size", str(args.batch_size), "--emit-beats",
+                 "--enable-beat-phase-search", "false"] + extra)
+            ra_summary = score_by_family(ra_specs, ra_out)
+            for fam, s in ra_summary["families"].items():
+                summary["families"][fam + "_refanchor"] = s
+            summary["overall_refanchor_grid"] = {
+                k: v for k, v in ra_summary["overall"].items()
+                if k.startswith(("beat_", "downbeat_", "n_grid"))
+            }
 
     print(json.dumps(summary, indent=2))
     if args.json:

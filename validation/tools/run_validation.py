@@ -54,7 +54,7 @@ BUCKETS = (36.0, 60.0, 120.0, 240.0, 420.0)
 RESULT_FIELDS = [
     "file", "error", "bpm", "bpm_confidence", "key", "key_confidence",
     "key_clarity", "grid_stability", "multi_res_used", "gt_bpm", "bpm_err",
-    "gt_key", "key_ok", "tempogram_candidates",
+    "gt_key", "key_ok", "tempogram_candidates", "beats", "downbeats",
 ]
 
 
@@ -160,6 +160,10 @@ def main(argv=None) -> int:
                    help="don't zero-pad partial sub-batches to --batch-size "
                         "(padding bounds jit shapes to one per bucket)")
     p.add_argument("--emit-candidates", action="store_true")
+    p.add_argument("--emit-beats", action="store_true",
+                   help="write per-track beat/downbeat times (JSON lists, "
+                        "ORIGINAL-track seconds: predicted time + leading "
+                        "trim offset) into the results CSV for grid scoring")
     add_config_flags(p)
     args = p.parse_args(argv)
     cfg = config_from_args(args)
@@ -249,6 +253,14 @@ def main(argv=None) -> int:
                 if gt_key is not None:
                     rec["gt_key"] = gt_key.name()
                     rec["key_ok"] = keys_equal(r.key, gt_key)
+                if args.emit_beats:
+                    trim = float(np.asarray(out["trim_start_seconds"])[k])
+                    rec["beats"] = json.dumps(
+                        [round(t + trim, 4) for t in r.beat_grid.beats]
+                    )
+                    rec["downbeats"] = json.dumps(
+                        [round(t + trim, 4) for t in r.beat_grid.downbeats]
+                    )
                 if r.metadata.tempogram_candidates is not None:
                     rec["tempogram_candidates"] = json.dumps(
                         [
