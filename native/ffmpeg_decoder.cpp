@@ -60,6 +60,7 @@ struct FfApi {
   // libavcodec
   const AVCodec* (*find_decoder)(enum AVCodecID) = nullptr;
   const AVCodec* (*find_encoder)(enum AVCodecID) = nullptr;
+  const AVCodec* (*find_encoder_by_name)(const char*) = nullptr;
   AVCodecContext* (*alloc_context3)(const AVCodec*) = nullptr;
   void (*free_context3)(AVCodecContext**) = nullptr;
   int (*params_to_context)(AVCodecContext*, const AVCodecParameters*) = nullptr;
@@ -115,6 +116,7 @@ FfApi& ff() {
     SYM(avio_closep_, lavf, "avio_closep")
     SYM(find_decoder, lavc, "avcodec_find_decoder")
     SYM(find_encoder, lavc, "avcodec_find_encoder")
+    SYM(find_encoder_by_name, lavc, "avcodec_find_encoder_by_name")
     SYM(alloc_context3, lavc, "avcodec_alloc_context3")
     SYM(free_context3, lavc, "avcodec_free_context")
     SYM(params_to_context, lavc, "avcodec_parameters_to_context")
@@ -268,10 +270,16 @@ int ffmpeg_decode_file(const char* path, std::vector<float>* interleaved,
   return rc;
 }
 
-// Minimal mono AAC-in-m4a encoder — test-fixture tool only (the analysis
-// framework itself never encodes). Returns 0 on success.
-int ffmpeg_encode_m4a(const char* path, const float* mono, int64_t n,
-                      int sample_rate) {
+// Minimal mono audio encoder — test/validation-fixture tool only (the
+// analysis framework itself never encodes; this exists so hermetic lossy
+// fixtures — m4a/AAC, MP3 via libmp3lame, OGG via libvorbis — can be
+// produced for the decode tests and the codec-robustness battery
+// families). The container is inferred from the path by
+// avformat_alloc_output_context2; codec_name selects the encoder
+// (nullptr/"" = AAC). All three encoders accept planar float input.
+// Returns 0 on success.
+int ffmpeg_encode_audio(const char* path, const char* codec_name,
+                        const float* mono, int64_t n, int sample_rate) {
   FfApi& F = ff();
   if (!F.ok) return 7;
 
@@ -284,7 +292,10 @@ int ffmpeg_encode_m4a(const char* path, const float* mono, int64_t n,
   AVPacket* pkt = nullptr;
   bool io_open = false;
   do {
-    const AVCodec* enc = F.find_encoder(AV_CODEC_ID_AAC);
+    const AVCodec* enc =
+        (codec_name && codec_name[0] && F.find_encoder_by_name)
+            ? F.find_encoder_by_name(codec_name)
+            : F.find_encoder(AV_CODEC_ID_AAC);
     if (!enc) break;
     AVStream* st = F.new_stream(ofmt, nullptr);
     c = F.alloc_context3(enc);
@@ -345,4 +356,9 @@ int ffmpeg_encode_m4a(const char* path, const float* mono, int64_t n,
   if (io_open) F.avio_closep_(&ofmt->pb);
   F.free_context(ofmt);
   return rc;
+}
+
+int ffmpeg_encode_m4a(const char* path, const float* mono, int64_t n,
+                      int sample_rate) {
+  return ffmpeg_encode_audio(path, nullptr, mono, n, sample_rate);
 }

@@ -36,6 +36,8 @@ int flac_decode_buffer(const uint8_t* buf, size_t size,
 bool ffmpeg_available();
 int ffmpeg_decode_file(const char* path, std::vector<float>* interleaved,
                        int* channels_out, int* sample_rate_out);
+int ffmpeg_encode_audio(const char* path, const char* codec_name,
+                        const float* mono, int64_t n, int sample_rate);
 int ffmpeg_encode_m4a(const char* path, const float* mono, int64_t n,
                       int sample_rate);
 
@@ -245,6 +247,7 @@ Mpg123Api& mpg123_api() {
 constexpr int MPG123_ENC_FLOAT_32 = 0x200;
 constexpr int MPG123_OK = 0;
 constexpr int MPG123_DONE = -12;
+constexpr int MPG123_NEW_FORMAT = -11;
 
 int decode_mp3(const char* path, int mix_mode, Decoded& dec) {
   Mpg123Api& api = mpg123_api();
@@ -269,8 +272,17 @@ int decode_mp3(const char* path, int mix_mode, Decoded& dec) {
   std::vector<unsigned char> chunk(1 << 18);
   size_t done = 0;
   int rc;
-  while ((rc = api.read(h, chunk.data(), chunk.size(), &done)) == MPG123_OK ||
-         (rc == MPG123_DONE && done > 0)) {
+  // The first read after (re)open reports MPG123_NEW_FORMAT (with done==0)
+  // before any audio; treat it as a format refresh, not an error, or every
+  // real-world MP3 decodes to zero samples.
+  while (true) {
+    rc = api.read(h, chunk.data(), chunk.size(), &done);
+    if (rc == MPG123_NEW_FORMAT) {
+      int enc2 = 0;
+      api.getformat(h, &rate, &channels, &enc2);
+      continue;
+    }
+    if (rc != MPG123_OK && !(rc == MPG123_DONE && done > 0)) break;
     size_t n = done / sizeof(float);
     const float* p = reinterpret_cast<const float*>(chunk.data());
     interleaved.insert(interleaved.end(), p, p + n);
@@ -492,6 +504,14 @@ int sa_ffmpeg_available() { return ffmpeg_available() ? 1 : 0; }
 int sa_encode_m4a(const char* path, const float* mono, int64_t n,
                   int sample_rate) {
   return ffmpeg_encode_m4a(path, mono, n, sample_rate);
+}
+
+// Generalized fixture encoder: codec by avcodec name ("libmp3lame",
+// "libvorbis", "aac", ...; container inferred from the path). Powers the
+// lossy-codec battery families.
+int sa_encode_audio(const char* path, const char* codec_name,
+                    const float* mono, int64_t n, int sample_rate) {
+  return ffmpeg_encode_audio(path, codec_name, mono, n, sample_rate);
 }
 
 }  // extern "C"

@@ -110,6 +110,12 @@ def native_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int,
         ]
+        if hasattr(lib, "sa_encode_audio"):
+            lib.sa_encode_audio.restype = ctypes.c_int
+            lib.sa_encode_audio.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -190,16 +196,29 @@ def ffmpeg_available() -> bool:
 def encode_m4a(path: str, samples: np.ndarray, sample_rate: int) -> None:
     """Encode mono f32 samples to AAC-in-m4a (test-fixture tool only; the
     analysis framework never encodes)."""
+    encode_audio(path, samples, sample_rate, codec="")
+
+
+def encode_audio(
+    path: str, samples: np.ndarray, sample_rate: int, codec: str = ""
+) -> None:
+    """Encode mono f32 samples via a named avcodec encoder (fixture tool
+    only). ``codec`` is the avcodec encoder name — "libmp3lame" for .mp3,
+    "libvorbis" for .ogg, "" for AAC/.m4a; the container comes from the
+    path suffix. Powers the lossy-codec battery families
+    (validation/tools/run_battery.py --codec)."""
     lib = native_lib()
     if lib is None or not lib.sa_ffmpeg_available():
         raise IOError("ffmpeg encode unavailable")
+    if not hasattr(lib, "sa_encode_audio"):
+        raise IOError("native library too old: rebuild libstratum_audio.so")
     x = np.ascontiguousarray(np.asarray(samples, np.float32))
-    rc = lib.sa_encode_m4a(
-        path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        len(x), sample_rate,
+    rc = lib.sa_encode_audio(
+        path.encode(), codec.encode(),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x), sample_rate,
     )
     if rc != 0:
-        raise IOError(f"m4a encode failed for {path}: {_ERR_NAMES.get(rc, rc)}")
+        raise IOError(f"encode failed for {path}: {_ERR_NAMES.get(rc, rc)}")
 
 
 def decode_batch(

@@ -313,6 +313,75 @@ def chord_track(
     return (out / peak).astype(np.float32) if peak > 0 else out.astype(np.float32)
 
 
+def fullmix_track(
+    name: str,
+    bpm: float,
+    tonic: int,
+    is_major: bool,
+    duration_s: float = 32.0,
+    sr: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Full polyphonic arrangement: backbeat drums + offbeat hats + 8th-note
+    bassline + sustained chord pads, with per-8-bar arrangement changes.
+
+    This is the battery's realism ceiling-raiser (round-4 verdict missing
+    item 2): simultaneous broadband drums, a melodic bass register
+    overlapping the kick, and pads whose chord changes land on BARS — the
+    mixture every real DJ track has and ``combined_track`` (kick+chords
+    only) lacks. Arrangement: section A (8 bars) = drums+bass,
+    section B (8 bars) = drums+bass+pads; the progression section rotates
+    with the arrangement (section variety is what separates relative-mode
+    rivals in segment voting — CLAUDE.md battery lessons).
+    """
+    rng = np.random.default_rng(zlib.crc32((name + "#mix").encode()) & 0x7FFFFFFF)
+    n = int(duration_s * sr)
+    drums = drum_track(name, bpm, duration_s, pattern="backbeat",
+                       hats="offbeat", sr=sr).astype(np.float64)
+
+    beat_s = 60.0 / bpm
+    bar_s = 4.0 * beat_s
+    sections = _MAJOR_SECTIONS if is_major else _MINOR_SECTIONS
+
+    bass = np.zeros(n, dtype=np.float64)
+    pads = np.zeros(n, dtype=np.float64)
+    n_bars = int(np.ceil(duration_s / bar_s))
+    for bar in range(n_bars):
+        prog = sections[(bar // 8) % len(sections)]
+        deg, maj_triad, gain = prog[bar % len(prog)]
+        root = (tonic + deg) % 12
+        start = bar * bar_s
+        # bassline: 8th notes, root-root-fifth-root octave figure, low
+        # register (the kick's spectral neighborhood — the hard case for
+        # chroma band-limiting and the beat phase search)
+        fifth = (root + 7) % 12
+        figure = [(root, 2), (root, 2), (fifth, 2), (root, 3),
+                  (root, 2), (fifth, 2), (root, 3), (fifth, 2)]
+        for k, (pc, octv) in enumerate(figure):
+            t0 = start + k * beat_s / 2.0
+            f = _note_freq(pc, octv, 0.0)
+            dur = beat_s * 0.45
+            m = int(dur * sr)
+            if int(t0 * sr) >= n:
+                break
+            t = np.arange(m) / sr
+            w = (np.sin(2 * np.pi * f * t) + 0.3 * np.sin(4 * np.pi * f * t))
+            env = np.minimum(1.0, t / 0.008) * np.exp(-t / (dur * 0.6))
+            _place(bass, t0, w * env, gain * (1.0 + 0.06 * rng.uniform(-1, 1)), sr)
+        # pads only in section B bars (8-15 mod 16): arrangement change
+        if (bar // 8) % 2 == 1:
+            pcs = _triad_pcs(root, maj_triad)
+            for j, pc in enumerate(pcs):
+                octv = 4 + (1 if j and pc % 12 < pcs[0] % 12 else 0)
+                f = _note_freq(pc % 12, octv, 0.0)
+                _place(pads, start, _tone(f, bar_s, sr),
+                       gain * (0.5 if j == 0 else 0.35), sr)
+
+    m = min(n, len(drums))
+    out = 0.55 * drums[:m] + 0.4 * bass[:m] + 0.35 * pads[:m]
+    peak = np.abs(out).max()
+    return (out / peak).astype(np.float32) if peak > 0 else out.astype(np.float32)
+
+
 def combined_track(
     name: str,
     bpm: float,
@@ -357,6 +426,8 @@ class TrackSpec:
             return chord_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
         if self.kind == "combined":
             return combined_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
+        if self.kind == "fullmix":
+            return fullmix_track(self.name, duration_s=self.duration_s, sr=sr, **self.params)
         raise ValueError(self.kind)
 
     def beat_ground_truth(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -508,6 +579,19 @@ def battery_specs() -> List[TrackSpec]:
             specs.append(TrackSpec(
                 f"combo_{kn.replace('#', 's')}_{bpm:g}bpm", "combined", bpm, kn,
                 30.0, "combined", dict(bpm=bpm, tonic=tonic, is_major=is_major)))
+
+    # --- full polyphonic mixes: drums + bassline + pads + arrangement
+    # sections, graded on BPM, key, AND beat grid simultaneously
+    mix_tempos = [86, 94, 102, 110, 118, 126, 134, 142, 98, 122, 130, 106]
+    for i, (tonic, is_major) in enumerate(
+        [(0, True), (9, False), (7, True), (4, False), (2, True), (5, False),
+         (10, True), (1, False), (3, True), (8, False), (11, True), (6, False)]
+    ):
+        bpm = float(mix_tempos[i])
+        kn = _key_name(tonic, is_major)
+        specs.append(TrackSpec(
+            f"fullmix_{kn.replace('#', 's')}_{bpm:g}bpm", "fullmix", bpm, kn,
+            32.0, "fullmix", dict(bpm=bpm, tonic=tonic, is_major=is_major)))
 
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate battery track names"

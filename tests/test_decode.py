@@ -125,6 +125,36 @@ def test_native_lib_builds():
     assert lib.sa_ffmpeg_available() in (0, 1)
 
 
+def test_mp3_ogg_roundtrip(tmp_path, signal16):
+    """Real MP3/OGG files through the libmpg123/libvorbisfile decode paths.
+
+    Regression for the MPG123_NEW_FORMAT bug: the first mpg123_read after
+    open reports a format refresh (not audio), which the old loop treated
+    as an error — every real-world MP3 decoded to zero samples
+    ("unrecognized format") while the unit suite only checked availability.
+    """
+    from stratum_dsp_tpu.io.decode import encode_audio, ffmpeg_available
+
+    if not ffmpeg_available():
+        pytest.skip("libavformat/libavcodec not present")
+    x = signal16.astype(np.float32) / 32768.0
+    for ext, codec in (("mp3", "libmp3lame"), ("ogg", "libvorbis")):
+        path = str(tmp_path / f"sig.{ext}")
+        try:
+            encode_audio(path, x, SAMPLE_RATE, codec)
+        except IOError:
+            pytest.skip(f"{codec} encoder not present")
+        y, sr = decode_file(path)
+        assert sr == SAMPLE_RATE, ext
+        assert abs(len(y) - len(x)) < 4096, (ext, len(y), len(x))
+        n = min(len(x), len(y))
+        corr = float(
+            np.dot(x[:n], y[:n])
+            / (np.linalg.norm(x[:n]) * np.linalg.norm(y[:n]) + 1e-12)
+        )
+        assert corr > 0.95, (ext, corr)
+
+
 def test_m4a_roundtrip(tmp_path, signal16):
     """m4a/AAC decode via the dlopen'd ffmpeg path (symphonia's m4a coverage,
     analyze_file.rs:25-180). AAC is lossy: assert alignment + high correlation

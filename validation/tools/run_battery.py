@@ -59,7 +59,7 @@ def synthesize_corpus(specs, wav_dir: Path, force: bool = False) -> None:
         print(f"synthesized {n_new} battery WAVs -> {wav_dir}", file=sys.stderr)
 
 
-def write_batch_csv(specs, wav_dir: Path, csv_path: Path) -> None:
+def write_batch_csv(specs, wav_dir: Path, csv_path: Path, ext: str = "wav") -> None:
     # beats/downbeats columns: the exact synthesis-time grids (JSON lists,
     # original-track seconds) so the GT CSV is self-contained for grid
     # scoring; run_validation ignores the extra columns.
@@ -69,7 +69,7 @@ def write_batch_csv(specs, wav_dir: Path, csv_path: Path) -> None:
         for spec in specs:
             gt = spec.beat_ground_truth()
             w.writerow([
-                str(wav_dir / f"{spec.name}.wav"),
+                str(wav_dir / f"{spec.name}.{ext}"),
                 f"{spec.gt_bpm:.4f}" if spec.gt_bpm is not None else "",
                 spec.gt_key or "",
                 spec.family,
@@ -206,6 +206,14 @@ def main(argv=None) -> int:
     p.add_argument("--tc", action="store_true",
                    help="also run the key_detuned* families with "
                         "--enable-key-tuning-compensation, reported as *_tc")
+    p.add_argument("--codec", action="store_true",
+                   help="also re-encode a deterministic battery slice to MP3 "
+                        "(libmp3lame) and OGG (libvorbis) via the native "
+                        "encoder and run it through the SAME accuracy loop "
+                        "— proves lossy decode + codec smear against the "
+                        "knife-edge thresholds (the reference's corpora are "
+                        "lossy real music, validation/README.md:1-12); "
+                        "reported as *_mp3 / *_ogg families")
     p.add_argument("--ra", action="store_true",
                    help="also run the grid-scored families with "
                         "--enable-beat-phase-search false (the reference's "
@@ -255,6 +263,39 @@ def main(argv=None) -> int:
             tc_summary = score_by_family(tc_specs, tc_out)
             for fam, s in tc_summary["families"].items():
                 summary["families"][fam + "_tc"] = s
+
+    if args.codec:
+        from stratum_dsp_tpu.io.decode import encode_audio, ffmpeg_available
+
+        if not ffmpeg_available():
+            print("codec pass skipped: ffmpeg unavailable", file=sys.stderr)
+        else:
+            codec_fams = {"sweep_offbeat", "sweep_backbeat", "key_clean",
+                          "combined", "fullmix"}
+            codec_specs = [s for s in specs if s.family in codec_fams][::2]
+            for ext, codec in (("mp3", "libmp3lame"), ("ogg", "libvorbis")):
+                cdir = wav_dir / ext
+                cdir.mkdir(parents=True, exist_ok=True)
+                n_new = 0
+                for spec in codec_specs:
+                    path = cdir / f"{spec.name}.{ext}"
+                    if path.exists() and not args.force_synth:
+                        continue
+                    encode_audio(str(path), spec.synthesize(), SAMPLE_RATE, codec)
+                    n_new += 1
+                if n_new:
+                    print(f"encoded {n_new} {ext} tracks -> {cdir}", file=sys.stderr)
+                c_csv = wav_dir / f"battery_{ext}.csv"
+                write_batch_csv(codec_specs, cdir, c_csv, ext=ext)
+                c_out = results_csv.with_name(results_csv.stem + f"_{ext}.csv")
+                run_validation.main(
+                    [str(c_csv), "--out", str(c_out),
+                     "--batch-size", str(args.batch_size), "--emit-beats"]
+                    + extra)
+                c_summary = score_by_family(codec_specs, c_out)
+                for fam, s in c_summary["families"].items():
+                    summary["families"][fam + "_" + ext] = s
+                summary[f"codec_{ext}_overall"] = c_summary["overall"]
 
     if args.ra:
         # second pass: the reference's first-onset grid anchor, so the
