@@ -261,61 +261,119 @@ def analyze_batch_arrays(
                 "n_valid": n_valid,
             }
 
-        def run_mr(_):
-            return mr.multi_resolution_estimate(
-                samples, lengths, cfg, sample_rate, precomputed, mesh=mesh
-            )
-
-        def skip_mr(_):
-            z = jnp.zeros((b,), jnp.float32)
-            zc = jnp.zeros((b, top_k), jnp.float32)
-            return {
-                "bpm": z, "confidence": z,
-                "method_agreement": jnp.zeros((b,), jnp.int32),
-                "ok": jnp.zeros((b,), bool),
-                "cand_bpm": zc, "cand_score": zc, "cand_fft": zc, "cand_ac": zc,
-                "cand_valid": jnp.zeros((b, top_k), bool),
-                "cand_selected": jnp.zeros((b, top_k), bool),
-            }
-
         esc = ambiguous & tempo_ok
-        # Escalation sub-batching: multi-res is per-track independent, so when
-        # only a few tracks are ambiguous, gather them into a fixed-capacity
-        # sub-batch before paying the hop-256 STFT+novelty pass (the dominant
-        # multi-res cost — it scales linearly in batch). Tiers B/4 and B/2
-        # keep shapes static; lax.switch picks the smallest tier that fits.
-        # The gathered pad rows (non-escalating tracks) compute real results
-        # that downstream masking (mr_used requires `ambiguous`) never uses.
-        # Disabled under a device mesh: a dynamic cross-track gather would
-        # break the tracks-axis sharding locality.
-        caps_sub = sorted({b // 8, b // 4, b // 2}) if mesh is None else []
-        caps_sub = [c for c in caps_sub if 0 < c < b]
 
-        def run_mr_sub(cap):
-            def f(_):
-                order = jnp.argsort((~esc).astype(jnp.int32), stable=True)
-                idx = order[:cap]
-                take = lambda x: jnp.take(x, idx, axis=0)
-                sub_pre = (
-                    jax.tree_util.tree_map(take, precomputed)
-                    if precomputed is not None
-                    else None
+        # Escalation sub-batching: multi-res is per-track independent, so
+        # when only a few tracks are ambiguous, gather them into a fixed-
+        # capacity sub-batch before paying the hop-256 STFT+novelty pass
+        # (the dominant multi-res cost — it scales linearly in batch). Tiers
+        # {B/8, B/4, B/2} keep shapes static; lax.switch picks the smallest
+        # tier that fits. The gathered pad rows (non-escalating tracks)
+        # compute real results that downstream masking (mr_used requires
+        # `ambiguous`) never uses.
+        def tiered_escalation(samples_l, lengths_l, esc_l, pre_l):
+            """Tiered multi-res over a (shard-)local [bl, T] batch.
+
+            Runs identically on the whole batch (no mesh) and per-shard
+            inside shard_map (1-D tracks mesh): the gather stays local to
+            the shard, so no cross-device data movement and no collectives
+            inside the lax.switch branches (each device may take a
+            different tier — legal exactly because the branches are
+            collective-free)."""
+            bl = samples_l.shape[0]
+
+            def skip(_):
+                z = jnp.zeros((bl,), jnp.float32)
+                zc = jnp.zeros((bl, top_k), jnp.float32)
+                return {
+                    "bpm": z, "confidence": z,
+                    "method_agreement": jnp.zeros((bl,), jnp.int32),
+                    "ok": jnp.zeros((bl,), bool),
+                    "cand_bpm": zc, "cand_score": zc, "cand_fft": zc,
+                    "cand_ac": zc,
+                    "cand_valid": jnp.zeros((bl, top_k), bool),
+                    "cand_selected": jnp.zeros((bl, top_k), bool),
+                }
+
+            def run_full(_):
+                return mr.multi_resolution_estimate(
+                    samples_l, lengths_l, cfg, sample_rate, pre_l, mesh=None
                 )
-                sub = mr.multi_resolution_estimate(
-                    take(samples), take(lengths), cfg, sample_rate, sub_pre,
-                    mesh=None,
+
+            def run_sub(cap):
+                def f(_):
+                    order = jnp.argsort((~esc_l).astype(jnp.int32), stable=True)
+                    idx = order[:cap]
+                    take = lambda x: jnp.take(x, idx, axis=0)
+                    sub_pre = (
+                        jax.tree_util.tree_map(take, pre_l)
+                        if pre_l is not None
+                        else None
+                    )
+                    sub = mr.multi_resolution_estimate(
+                        take(samples_l), take(lengths_l), cfg, sample_rate,
+                        sub_pre, mesh=None,
+                    )
+                    full = skip(0)
+                    return {k: full[k].at[idx].set(sub[k]) for k in full}
+
+                return f
+
+            caps_sub = [
+                c for c in sorted({bl // 8, bl // 4, bl // 2}) if 0 < c < bl
+            ]
+            branches = [skip] + [run_sub(c) for c in caps_sub] + [run_full]
+            n_esc = jnp.sum(esc_l.astype(jnp.int32))
+            tier = (n_esc > 0).astype(jnp.int32)
+            for c in caps_sub:
+                tier = tier + (n_esc > c).astype(jnp.int32)
+            return jax.lax.switch(tier, branches, 0)
+
+        if mesh is None:
+            mres = tiered_escalation(samples, lengths, esc, precomputed)
+        elif "time" not in mesh.shape:
+            # Pod-safe sub-batching (round-4 verdict item 4): under the
+            # production 1-D tracks mesh the tier logic runs PER SHARD via
+            # shard_map — each device gathers its own ambiguous tracks into
+            # a local sub-batch, preserving tracks-axis locality (no
+            # cross-device gather, no full-batch multi-res tax on pods).
+            from jax.sharding import PartitionSpec as P
+
+            spec = P("tracks")
+            if precomputed is None:
+                mres = jax.shard_map(
+                    lambda s, l, e: tiered_escalation(s, l, e, None),
+                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                )(samples, lengths, esc)
+            else:
+                pre_spec = jax.tree_util.tree_map(lambda _: spec, precomputed)
+                mres = jax.shard_map(
+                    tiered_escalation, mesh=mesh,
+                    in_specs=(spec, spec, spec, pre_spec), out_specs=spec,
+                )(samples, lengths, esc, precomputed)
+        else:
+            # 2-D (tracks, time) mesh: the multi-res STFT itself is time-
+            # sharded (halos over ppermute), which is incompatible with a
+            # track gather; keep the batch-level cond with the full batch.
+            def run_mr(_):
+                return mr.multi_resolution_estimate(
+                    samples, lengths, cfg, sample_rate, precomputed, mesh=mesh
                 )
-                full = skip_mr(0)
-                return {k: full[k].at[idx].set(sub[k]) for k in full}
 
-            return f
+            def skip_mr(_):
+                z = jnp.zeros((b,), jnp.float32)
+                zc = jnp.zeros((b, top_k), jnp.float32)
+                return {
+                    "bpm": z, "confidence": z,
+                    "method_agreement": jnp.zeros((b,), jnp.int32),
+                    "ok": jnp.zeros((b,), bool),
+                    "cand_bpm": zc, "cand_score": zc, "cand_fft": zc,
+                    "cand_ac": zc,
+                    "cand_valid": jnp.zeros((b, top_k), bool),
+                    "cand_selected": jnp.zeros((b, top_k), bool),
+                }
 
-        branches = [skip_mr] + [run_mr_sub(c) for c in caps_sub] + [run_mr]
-        n_esc = jnp.sum(esc.astype(jnp.int32))
-        tier = (n_esc > 0).astype(jnp.int32)
-        for c in caps_sub:
-            tier = tier + (n_esc > c).astype(jnp.int32)
-        mres = jax.lax.switch(tier, branches, 0)
+            mres = jax.lax.cond(jnp.any(esc), run_mr, skip_mr, 0)
         rel = jnp.where(
             chosen_bpm > EPSILON,
             jnp.maximum(mres["bpm"] / jnp.maximum(chosen_bpm, EPSILON),

@@ -75,3 +75,38 @@ def test_full_pipeline_2d_mesh_matches_unsharded():
               "grid_stability", "ok", "multi_res_used"):
         ref, got = np.asarray(out_ref[k]), np.asarray(out_sh[k])
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_full_pipeline_1d_mesh_shard_local_escalation_matches_unsharded():
+    """1-D tracks mesh == unsharded, WITH the shard-local escalation tiers.
+
+    16 tracks over 8 shards (2 per shard) with trap-zone seeds on some
+    shards: each device independently picks its own lax.switch tier
+    (skip / sub-1 / full-2), which must not change any per-track result
+    vs the unsharded tiered path (round-4 verdict item 4: pods keep the
+    sub-batched escalation economics)."""
+    from stratum_dsp_tpu.analysis.pipeline import PipelineCaps, analyze_batch_arrays
+    from stratum_dsp_tpu.parallel.mesh import analyze_batch_sharded, make_mesh
+
+    cfg = AnalysisConfig()
+    caps = PipelineCaps(max_onsets=256, max_beats=256, seg_beat_cap=16, max_segments=6)
+    # trap-zone (75/172/78) and clean seeds interleaved so some shards
+    # escalate 0, some 1, some 2 of their 2 tracks
+    bpms = [75.0, 120.0, 128.0, 172.0, 78.0, 174.0, 101.0, 132.0,
+            140.0, 76.0, 96.0, 108.0, 176.0, 116.0, 88.0, 124.0]
+    tracks = [kick_pattern(x, 6.0) for x in bpms]
+    samples, lengths = pad_batch(tracks)
+
+    mesh = make_mesh(jax.devices()[:8])  # 1-D tracks mesh, bl = 2
+    out_sh = analyze_batch_sharded(samples, lengths, cfg, 44100, caps, mesh)
+    out_ref = jax.jit(
+        analyze_batch_arrays, static_argnames=("cfg", "sample_rate", "caps")
+    )(jnp.asarray(samples), jnp.asarray(lengths), cfg=cfg, sample_rate=44100,
+      caps=caps)
+
+    assert np.asarray(out_ref["multi_res_triggered"]).any()
+    for k in ("bpm", "bpm_confidence", "key_idx", "key_confidence",
+              "grid_stability", "ok", "multi_res_used", "multi_res_triggered"):
+        ref, got = np.asarray(out_ref[k]), np.asarray(out_sh[k])
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5, err_msg=k)
