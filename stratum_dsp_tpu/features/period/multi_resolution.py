@@ -83,13 +83,23 @@ def _lookup(cands: Dict[str, jax.Array], query: jax.Array, tol: float) -> jax.Ar
 
 
 def beat_contrast_score(
-    novelty: jax.Array, n_valid: jax.Array, bpm: jax.Array, sample_rate: int, hop: int
+    novelty: jax.Array, n_valid: jax.Array, bpm: jax.Array, sample_rate: int,
+    hop: int, fractional: bool = False,
 ) -> jax.Array:
     """Phase-optimized beat-contrast alignment (multi_resolution.rs:580-678).
 
     ``novelty [B, N]``, ``bpm [B, F]`` family candidates. For each candidate:
     max over phases of (mean windowed-max at beats − 0.6·half − 0.4·thirds),
     normalized by the mean novelty. Returns [B, F].
+
+    ``fractional`` (extension, config ``beat_contrast_fractional``, default
+    False for parity): accumulate beat positions at FLOAT period and round
+    each beat independently, instead of the reference's integer-frame comb
+    (multi_resolution.rs:580-604). The integer comb's per-beat rounding
+    drift loses fractional-BPM candidates — at 113.6 BPM the true period is
+    45.48 frames but the comb steps 45, drifting one full frame every ~2
+    beats, so the true tempo's contrast is destroyed and its 2/3-family
+    member wins (frac_113.6 -> 75.7, reference-reproduced to 4 decimals).
     """
     b, n = novelty.shape
     f = bpm.shape[-1]
@@ -112,6 +122,54 @@ def beat_contrast_score(
 
     total = jnp.maximum(jnp.sum(novm, axis=-1), EPSILON)  # [B]
     mean_nov = jnp.maximum(total / jnp.maximum(n_valid, 1), EPSILON)  # [B]
+
+    if fractional:
+        # float-period comb: [B, F, P, K] rounded positions, gathered from
+        # mx. Sizes are small because PERIOD_MIN bounds K at n/24 (~650 for
+        # a 3-min track at hop 512) and phases at PHASE_CAP.
+        fpb = jnp.clip(frames_per_beat, float(PERIOD_MIN), float(PHASE_CAP))
+        n_k = int(n // PERIOD_MIN) + 2
+        karr = jnp.arange(n_k, dtype=jnp.float32)
+        jphase = (jnp.arange(PHASE_CAP, dtype=jnp.float32) / PHASE_CAP)
+        base = jphase[None, None, :] * fpb[:, :, None]  # [B, F, P]
+
+        def cmean(offset_frac, with_std=False):
+            pos = base[..., None] + (karr + offset_frac)[None, None, None, :] \
+                * fpb[:, :, None, None]
+            q = jnp.round(pos).astype(jnp.int32)  # [B, F, P, K]
+            valid = q < n_valid[:, None, None, None]
+            qc = jnp.clip(q, 0, n - 1)
+            v = jnp.take_along_axis(
+                mx[:, None, :], qc.reshape(b, 1, -1), axis=-1
+            ).reshape(b, f, PHASE_CAP, n_k)
+            v = jnp.where(valid, v, 0.0)
+            cnt = jnp.maximum(
+                jnp.sum(valid, axis=-1).astype(jnp.float32), 1.0
+            )  # [B, F, P]
+            mean = jnp.sum(v, axis=-1) / cnt
+            if not with_std:
+                return mean, cnt
+            var = jnp.sum(jnp.where(valid, (v - mean[..., None]) ** 2, 0.0),
+                          axis=-1) / cnt
+            return mean, cnt, jnp.sqrt(jnp.maximum(var, 0.0))
+
+        beat_mean_f, beat_n_f, beat_std_f = cmean(0.0, with_std=True)
+        half_mean_f, _ = cmean(0.5)
+        t1f, t1nf = cmean(1.0 / 3.0)
+        t2f, t2nf = cmean(2.0 / 3.0)
+        third_f = (t1f * t1nf + t2f * t2nf) / jnp.maximum(t1nf + t2nf, 1.0)
+        # Consistency penalty (fractional path only): a grid at a 2/3 or 4/3
+        # relation of the true tempo alternates hit/miss beats — its beat
+        # MEAN stays high while its half/third offsets land off every event,
+        # escaping the reference's -0.6/-0.4 penalties. A true-tempo grid
+        # hits EVERY beat (low per-beat std). Without this term the
+        # drift-free comb systematically promotes 2/3-family members the
+        # integer comb only rejected by accident of rounding drift.
+        contrast = (beat_mean_f - 0.75 * beat_std_f) \
+            - 0.60 * half_mean_f - 0.40 * third_f
+        score = jnp.clip(contrast / mean_nov[:, None, None], -10.0, 10.0)
+        best = jnp.max(jnp.where(beat_n_f > 0, score, -1e9), axis=-1)
+        return jnp.where(ok, best, 0.0)
 
     # The sampled positions phase + k*period (+ period*num/den) tile the frame
     # axis: every frame i < n_valid belongs to exactly one (phase, k) pair via
@@ -400,7 +458,10 @@ def multi_resolution_estimate(
     max_alt = jnp.max(jnp.where(alt, fs / best_support[:, None], 0.0), axis=-1)
 
     run_family = (best_bpm >= 70.0) & (best_bpm <= 180.0) & (n_fam >= 2) & (max_alt >= 0.45)
-    align = beat_contrast_score(nov512, nval512, fam_bpm, sample_rate, 512)  # [B, 5]
+    align = beat_contrast_score(
+        nov512, nval512, fam_bpm, sample_rate, 512,
+        fractional=cfg.beat_contrast_fractional,
+    )  # [B, 5]
     support_norm = jnp.clip(fs / best_support[:, None], 0.0, 1.0)
     fam_score = jnp.where(fam_ok, align + 0.35 * support_norm, -1e9)
     ch = jnp.argmax(fam_score, axis=-1)
@@ -408,7 +469,8 @@ def multi_resolution_estimate(
     ch_align = jnp.take_along_axis(align, ch[:, None], axis=-1)[:, 0]
     ch_support = jnp.take_along_axis(fs, ch[:, None], axis=-1)[:, 0]
     cur_align = beat_contrast_score(
-        nov512, nval512, best_bpm[:, None], sample_rate, 512
+        nov512, nval512, best_bpm[:, None], sample_rate, 512,
+        fractional=cfg.beat_contrast_fractional,
     )[:, 0]
     do_fam = (
         run_family

@@ -73,3 +73,42 @@ def test_multires_fusion_parity(name, kw, cfg):
     assert int(got["method_agreement"][0]) == want["method_agreement"], name
     assert abs(float(got["confidence"][0]) - want["confidence"]) < 0.02, (
         name, float(got["confidence"][0]), want["confidence"])
+
+
+def test_fractional_beat_contrast_rescues_float_period():
+    """The float-period comb (config ``beat_contrast_fractional``, default
+    OFF) must score a fractional-period tempo ABOVE its 2/3-family member on
+    an impulse train at that exact period, where the reference's
+    integer-frame comb loses it to rounding drift
+    (multi_resolution.rs:580-604; battery case frac_113.6 -> 75.7).
+    Also pins the consistency (std) penalty: the comb must NOT promote the
+    4/3 member of a true tempo (its alternating hit/miss beats escape the
+    half/third penalties)."""
+    import jax.numpy as jnp
+
+    from stratum_dsp_tpu.features.period.multi_resolution import beat_contrast_score
+
+    sr, hop = 44100, 512
+    true_bpm = 113.6
+    fpb = 60.0 * sr / (true_bpm * hop)  # 45.48 frames: fractional period
+    n = 2048
+    novelty = np.zeros((1, n), np.float32)
+    for k in range(int(n / fpb)):
+        novelty[0, int(round(k * fpb))] = 1.0
+    nv = jnp.asarray([n], jnp.int32)
+    cands = jnp.asarray(
+        [[true_bpm, true_bpm * 2 / 3, true_bpm * 4 / 3]], jnp.float32
+    )
+    s_int = np.asarray(
+        beat_contrast_score(jnp.asarray(novelty), nv, cands, sr, hop)
+    )[0]
+    s_frac = np.asarray(
+        beat_contrast_score(
+            jnp.asarray(novelty), nv, cands, sr, hop, fractional=True
+        )
+    )[0]
+    # integer comb: drift destroys the true tempo's contrast vs its 2/3
+    assert s_int[0] < s_int[1] + 0.40, s_int
+    # fractional comb: the true tempo wins decisively over 2/3 AND 4/3
+    assert s_frac[0] > s_frac[1] + 0.40, s_frac
+    assert s_frac[0] > s_frac[2] + 0.40, s_frac

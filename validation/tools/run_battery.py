@@ -214,6 +214,10 @@ def main(argv=None) -> int:
                         "knife-edge thresholds (the reference's corpora are "
                         "lossy real music, validation/README.md:1-12); "
                         "reported as *_mp3 / *_ogg families")
+    p.add_argument("--bcf", action="store_true",
+                   help="also run the fractional family with "
+                        "--beat-contrast-fractional true (float-period "
+                        "comb extension), reported as fractional_bcf")
     p.add_argument("--ra", action="store_true",
                    help="also run the grid-scored families with "
                         "--enable-beat-phase-search false (the reference's "
@@ -263,6 +267,20 @@ def main(argv=None) -> int:
             tc_summary = score_by_family(tc_specs, tc_out)
             for fam, s in tc_summary["families"].items():
                 summary["families"][fam + "_tc"] = s
+
+    if args.bcf:
+        bcf_specs = [s for s in specs if s.family == "fractional"]
+        if bcf_specs:
+            bcf_csv = wav_dir / "battery_bcf.csv"
+            write_batch_csv(bcf_specs, wav_dir, bcf_csv)
+            bcf_out = results_csv.with_name(results_csv.stem + "_bcf.csv")
+            run_validation.main(
+                [str(bcf_csv), "--out", str(bcf_out),
+                 "--batch-size", str(args.batch_size), "--emit-beats",
+                 "--beat-contrast-fractional", "true"] + extra)
+            bcf_summary = score_by_family(bcf_specs, bcf_out)
+            for fam, s in bcf_summary["families"].items():
+                summary["families"][fam + "_bcf"] = s
 
     if args.codec:
         from stratum_dsp_tpu.io.decode import encode_audio, ffmpeg_available
