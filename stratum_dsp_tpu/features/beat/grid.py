@@ -114,7 +114,10 @@ def search_phase_anchor(
 
     offs = (jnp.arange(n_offsets, dtype=jnp.float32) / n_offsets - 0.5)  # [P]
     anchors = start[:, None] + offs[None, :] * interval[:, None]  # [B, P]
-    k = jnp.arange(max_beats, dtype=jnp.float32)  # [MB]
+    # sample every 4th beat: phase scoring is statistical (>=110 samples on
+    # a 3-min track), and the [B, P, K] gather is the stage's whole cost
+    # (measured 10.7 -> ~3 ms/batch at stride 4, identical battery grids)
+    k = jnp.arange(max_beats // 4, dtype=jnp.float32) * 4.0  # [MB/4]
     grid = anchors[:, :, None] + k[None, None, :] * interval[:, None, None]
     fidx = jnp.round(grid * frame_rate).astype(jnp.int32)  # [B, P, MB]
     in_range = (fidx >= 0) & (fidx < novelty_n[:, None, None])
@@ -132,7 +135,7 @@ def search_phase_anchor(
     fidx = jnp.clip(fidx, 0, novelty.shape[-1] - 1)
     vals = jnp.take_along_axis(
         nmax[:, None, :], jnp.reshape(fidx, (b, -1))[:, None, :], axis=-1
-    ).reshape(b, n_offsets, max_beats)
+    ).reshape(b, n_offsets, max_beats // 4)
     vals = jnp.where(in_range, vals, 0.0)
     score = jnp.sum(vals, axis=-1) / jnp.maximum(
         jnp.sum(in_range, axis=-1).astype(jnp.float32), 1.0

@@ -419,6 +419,10 @@ def windowed_time_mean(spec: jax.Array, fvalid: jax.Array, margin: int) -> jax.A
         return spec
     t = spec.shape[-2]
     w = _box_band_matrix(t, margin)
+    # Round-5 re-measurements (B=40, real chip, isolated stft_plus_mask):
+    # HIGH -> DEFAULT precision is FLAT (76.1 vs 75.1 ms — the band matmul
+    # is HBM-bound, not MXU-bound) and a prefix-sum formulation LOSES big
+    # (131 ms: O(log T) full-stream cumsum passes). The matmul stays.
     sums = jnp.einsum(
         "...tk,st->...sk", spec, w,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH,

@@ -37,6 +37,9 @@ CHUNK_ELEMENT_BUDGET = 60_000_000
 
 
 def _auto_chunk(b: int, frame_size: int, requested: int) -> int:
+    # Re-swept round 5 after the bf16-S stream halving: raising the budget
+    # to 90M elements LOSES (134 -> 124 tracks/s) — the knee follows the
+    # total working set across ALL streams, not just this one. 60M stays.
     cap = max(CHUNK_ELEMENT_BUDGET // max(b * frame_size, 1), 128)
     return int(min(requested, cap))
 

@@ -24,9 +24,11 @@ which is >= keep_bins and sliced off.
 
 Numerics match the XLA path: bd arrives f32, C is cast bf16 before the box
 sum (the XLA path stores C bf16 — same rounding point), the box-sum matmul
-accumulates f32, S stays f32 IN VMEM (the XLA path rounds S to bf16 to save
-HBM — the kernel never spills S, so it keeps full precision; decision parity
-is pinned by the forced-polyphase CPU test).
+accumulates f32, S stays f32 IN VMEM. With ``out_bf16`` (the bf16 pipeline
+default since round 5) the OUTPUT magnitudes round to bf16 — the same
+rounding point the XLA fallback applies to S — halving every downstream
+read of the spec stream; decision parity pinned by the forced-polyphase CPU
+test and the battery key families (round-5 A/B: identical accuracy).
 """
 
 from __future__ import annotations
@@ -108,13 +110,14 @@ def _make_kernel(r: int, kp: int):
         m1im = jnp.where(lane == 0, -sim_p, sim_m)
         wre = 0.5 * sre - 0.25 * ((m1re + sre_p) * cphi + (m1im - sim_p) * sphi)
         wim = 0.5 * sim - 0.25 * ((m1im + sim_p) * cphi + (sre_p - m1re) * sphi)
-        out_ref[0] = jnp.sqrt(wre * wre + wim * wim)
+        out_ref[0] = jnp.sqrt(wre * wre + wim * wim).astype(out_ref.dtype)
 
     return kernel
 
 
 def polyphase_stage2(
-    bd: jax.Array, r: int, ext: int, keep_bins: int, interpret: bool = False
+    bd: jax.Array, r: int, ext: int, keep_bins: int, interpret: bool = False,
+    out_bf16: bool = False,
 ) -> jax.Array:
     """Fused twiddle + box-sum + Hann-mix + magnitude.
 
@@ -155,7 +158,9 @@ def polyphase_stage2(
         ],
         out_specs=pl.BlockSpec((1, FT, kp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, extp, kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, extp, kp), jnp.bfloat16 if out_bf16 else jnp.float32
+        ),
         interpret=interpret,
     )(
         bd[:, :extp], halos,

@@ -311,9 +311,14 @@ def polyphase_chunk_magnitudes(
         # the key STFT ([B, ebp, 2*KP] f32 ~ 2.3 GB/3-min batch). Rounding
         # point moves one multiply earlier than the XLA path's bf16 C — same
         # contract; the kernel's twiddle multiply upcasts back to f32.
+        # bf16 magnitudes out of the kernel: halves the conditioning/HPCP
+        # read traffic downstream and matches the XLA fallback's own bf16-S
+        # rounding point. Decision-neutral on every battery key family
+        # (round-5 A/B); ~11 ms/batch off the isolated key path at B=40.
         return polyphase_stage2(
             bd.astype(jnp.bfloat16) if bf16 else bd, r, ext, keep_bins,
             interpret=jax.default_backend() != "tpu",
+            out_bf16=bf16,
         )
 
     # per-block twiddle C = e^{-2pi i k j/R} * Bd. start % R == 0 makes the

@@ -314,6 +314,12 @@ def main(argv=None) -> int:
                 for fam, s in c_summary["families"].items():
                     summary["families"][fam + "_" + ext] = s
                 summary[f"codec_{ext}_overall"] = c_summary["overall"]
+            # slice-matched WAV baseline: the SAME tracks scored from the
+            # main (WAV) results, so codec deltas compare like with like
+            wav_base = score_by_family(codec_specs, results_csv)
+            for fam, s in wav_base["families"].items():
+                summary["families"][fam + "_wavslice"] = s
+            summary["codec_wavslice_overall"] = wav_base["overall"]
 
     if args.ra:
         # second pass: the reference's first-onset grid anchor, so the
