@@ -486,9 +486,19 @@ def stft_reduce(
             samples, ((0, 0), (lpad, max(need - (t + lpad), 0)))
         )
     else:
+        # Left-pad by halo*hop (like the polyphase branch) so chunk slices
+        # never clamp: the old max(first_frame, 0) clamp MISALIGNED the
+        # whole first chunk by `halo` frames whenever halo > 0 — its
+        # central region carried frames [halo, C+halo) labeled as
+        # [0, C), shifting every downstream key feature by halo frames and
+        # dropping the last halo frames of the track (round-5 find; the
+        # polyphase path was always correct, which is why the bug only
+        # showed on the f32 direct-DFT path).
+        lpad = halo * hop
         need = (nf_padded + 2 * halo - 1) * hop + frame_size
-        if need > t:
-            samples = jnp.pad(samples, ((0, 0), (0, need - t)))
+        samples = jnp.pad(
+            samples, ((0, 0), (lpad, max(need - (t + lpad), 0)))
+        )
 
     if poly:
         window = basis = None
@@ -514,22 +524,22 @@ def stft_reduce(
                 fidx[None, :] < frame_counts[:, None]
             )
         else:
-            base = jnp.maximum(first_frame, 0)
+            # Left-padded sample space: padded frame index = true index +
+            # halo, so chunk c's extended region starts at padded frame
+            # c*chunk_frames; frames before the track start read zeros and
+            # are masked below.
             region = jax.lax.dynamic_slice(
-                samples, (0, base * hop), (b, (ext - 1) * hop + frame_size)
+                samples, (0, chunk_idx * chunk_frames * hop),
+                (b, (ext - 1) * hop + frame_size),
             )
             # (casting the region bf16 BEFORE extraction was measured flat —
             # XLA already fuses the matmul-input cast into the frame concat)
             frames = extract_frames(region, ext, frame_size, hop)
             spec = stft_magnitude_chunk(frames, window, basis, keep_bins)
-            # Global frame indices covered by this (clamped) slice.
-            fidx = base + jnp.arange(ext)
+            fidx = first_frame + jnp.arange(ext)
             fvalid = (fidx[None, :] >= 0) & (
                 fidx[None, :] < frame_counts[:, None]
             )
-            # Frames before the clamp point duplicate frame 0 content; mark
-            # invalid (only happens in the first chunk's halo).
-            fvalid = fvalid & (jnp.arange(ext)[None, :] >= (base - first_frame))
         spec = jnp.where(fvalid[:, :, None], spec, 0.0)
         outs, carry = reducer(spec, fidx, fvalid, carry)
         return carry, outs

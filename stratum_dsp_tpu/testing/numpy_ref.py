@@ -1520,3 +1520,163 @@ def adaptive_threshold_median_mad_np(values, k: float) -> float:
     d = np.sort(np.abs(np.asarray(values, np.float64) - med))
     mad = (d[n // 2 - 1] + d[n // 2]) * 0.5 if n % 2 == 0 else d[n // 2]
     return float(med + k * mad)
+
+
+def smooth_chroma_median_np(chroma, window: int = 5) -> np.ndarray:
+    """Per-pitch-class temporal median, edge windows clamped, upper median
+    for even-length edge windows (smoothing.rs:37-94)."""
+    chroma = np.asarray(chroma, np.float64)
+    n = len(chroma)
+    if n == 0 or window <= 1:
+        return chroma
+    if window % 2 == 0:
+        window += 1
+    half = window // 2
+    out = np.empty_like(chroma)
+    for t in range(n):
+        lo, hi = max(t - half, 0), min(t + half + 1, n)
+        w = np.sort(chroma[lo:hi], axis=0)
+        out[t] = w[len(w) // 2]
+    return out
+
+
+def key_frame_weights_np(chroma, energies, min_tonalness: float,
+                         tonalness_power: float, energy_power: float):
+    """Per-frame tonalness^tp * (e/median)^ep weights with the reference's
+    sorted[len/2] median and the <10-usable-frames fallback to None
+    (lib.rs:1236-1287)."""
+    chroma = np.asarray(chroma, np.float64)
+    energies = np.asarray(energies, np.float64)
+    med = max(np.sort(energies)[len(energies) // 2], 1e-12)
+    weights = []
+    for ch, e in zip(chroma, energies):
+        s = ch.sum()
+        if s <= 1e-12:
+            tonal = 0.0
+        else:
+            p = ch / s
+            ent = -(p[p > 1e-12] * np.log(p[p > 1e-12])).sum()
+            tonal = float(np.clip(1.0 - ent / np.log(12.0), 0.0, 1.0))
+        if tonal < min_tonalness:
+            tonal = 0.0
+        e_norm = max(e / med, 0.0)
+        weights.append(max(tonal ** max(tonalness_power, 0.0)
+                           * e_norm ** max(energy_power, 0.0), 0.0))
+    w = np.asarray(weights)
+    if w.sum() <= 1e-12 or (w > 0).sum() < 10:
+        return None
+    return w
+
+
+def detect_key_segment_voting_np(chroma, weights, templates, seg_len: int,
+                                 hop: int, min_clarity: float):
+    """Clarity-weighted segment score accumulation (lib.rs:1332-1436).
+    Returns the winning key index 0-23 (argmax of the accumulated table;
+    the reference's stable majors-then-minors sort == first argmax), or the
+    whole-track detection when no segment clears the clarity gate or the
+    track is shorter than one segment."""
+    chroma = np.asarray(chroma, np.float64)
+    n = len(chroma)
+    if not (n >= max(seg_len, 1) and seg_len >= 120 and hop >= 1):
+        return best_key_np(key_scores_refined(chroma, weights, templates))
+    seg_len = min(seg_len, n)
+    hop = max(min(hop, seg_len), 1)
+    acc = np.zeros(24)
+    used = 0
+    start = 0
+    while start + seg_len <= n:
+        seg = chroma[start:start + seg_len]
+        wseg = weights[start:start + seg_len] if weights is not None else None
+        scores = key_scores_refined(seg, wseg, templates)
+        clarity = _key_clarity_np(scores)
+        if clarity >= np.clip(min_clarity, 0.0, 1.0):
+            used += 1
+            acc += scores * clarity
+        start += hop
+    if used == 0:
+        return best_key_np(key_scores_refined(chroma, weights, templates))
+    return best_key_np(acc)
+
+
+def key_chain_np(
+    samples,
+    sample_rate: int,
+    *,
+    frame_size: int = 8192,
+    hop: int = 512,
+    smooth_margin: int = 12,
+    mask_power: float = 2.0,
+    sigma: float = 0.5,
+    tuning_offset: float = 0.0,
+    peaks_per_frame: int = 24,
+    num_harmonics: int = 4,
+    harmonic_decay: float = 0.60,
+    mag_power: float = 0.50,
+    bass_blend: bool = False,
+    bass_fmin: float = 55.0,
+    bass_fmax: float = 300.0,
+    bass_weight: float = 0.35,
+    min_tonalness: float = 0.0,
+    tonalness_power: float = 2.0,
+    energy_power: float = 0.50,
+    edge_trim_fraction: float = 0.0,
+    detector: str = "segment_voting",
+    seg_len: int = 1024,
+    seg_hop: int = 512,
+    seg_min_clarity: float = 0.20,
+    multi_scale_lengths=(120, 360, 720),
+    multi_scale_hop: int = 60,
+    multi_scale_min_clarity: float = 0.20,
+    template_set: str = "kk",
+) -> int:
+    """Float64 whole-track key chain, a literal composition of the existing
+    reference ports: key STFT (8192/512, Hann n-1) -> harmonic time mask ->
+    HPCP (optional bass blend) -> median smoothing -> optional edge trim ->
+    tonalness/energy frame weights -> segment-voting (or multi-scale)
+    detection. This is the cross-check for the repo's characterization keys
+    (round-4 verdict missing item 4): a pinned variant key is only a
+    'reference-faithful' claim if this port reproduces it on the same
+    samples (lib.rs:961-1559 end to end)."""
+    spec = stft_magnitude(np.asarray(samples, np.float64), frame_size, hop)
+    cond = harmonic_time_mask_np(spec, smooth_margin, mask_power)
+    chroma = []
+    energies = []
+    for frame in cond:
+        full = frame_to_hpcp_np(frame, sample_rate, frame_size, sigma,
+                                tuning_offset, peaks_per_frame, num_harmonics,
+                                harmonic_decay, mag_power)
+        if bass_blend:
+            bass = frame_to_hpcp_np(
+                frame, sample_rate, frame_size, sigma, tuning_offset,
+                int(np.clip(peaks_per_frame, 1, 12)), num_harmonics,
+                harmonic_decay, mag_power, fmin=bass_fmin, fmax=bass_fmax)
+            w = float(np.clip(bass_weight, 0.0, 1.0))
+            mix = (1.0 - w) * full + w * bass
+            norm = np.sqrt((mix ** 2).sum())
+            full = mix / norm if norm > EPSILON else mix
+        chroma.append(full)
+        energies.append(float((frame ** 2).sum()))
+    chroma = np.asarray(chroma)
+    energies = np.asarray(energies)
+    if len(chroma) > 5:
+        chroma = smooth_chroma_median_np(chroma, 5)
+    if edge_trim_fraction > 0.0 and len(chroma) >= 200:
+        frac = float(np.clip(edge_trim_fraction, 0.0, 0.49))
+        n = len(chroma)
+        start = int(round(n * frac))
+        end = int(round(n * (1.0 - frac)))
+        if end > start + 50 and end <= n:
+            chroma = chroma[start:end]
+            energies = energies[start:end]
+    weights = key_frame_weights_np(chroma, energies, min_tonalness,
+                                   tonalness_power, energy_power)
+    templates = key_templates_np(template_set)
+    if detector == "multi_scale":
+        res = detect_key_multi_scale_np(
+            chroma, weights, templates, list(multi_scale_lengths),
+            multi_scale_hop, multi_scale_min_clarity)
+        if res is not None:
+            return int(res[0])
+        return best_key_np(key_scores_refined(chroma, weights, templates))
+    return detect_key_segment_voting_np(
+        chroma, weights, templates, seg_len, seg_hop, seg_min_clarity)

@@ -38,10 +38,17 @@ def scale_batch():
         ({"enable_key_hpcp_whitening": True}, "C"),
         ({"enable_key_hpcp": False}, "C"),
         # the bare ascending scale is tonally thin (no tonic emphasis, no
-        # cadence); these variants resolve it to a close relation instead —
-        # pinned exactly as characterization so any drift is visible
-        ({"enable_key_multi_scale": True, "key_multi_scale_lengths": (60, 120)}, "Am"),
-        ({"enable_key_hpcp_bass_blend": True}, "G"),
+        # cadence); these variants sit on knife edges — pinned exactly as
+        # characterization so any drift is visible. Round-5 re-derivation:
+        # fixing the halo misalignment in the f32 stft_reduce path (the
+        # first chunk's conditioning context was shifted by `halo` frames
+        # and the last `halo` frames of every track were dropped) moved
+        # multi_scale (was Am) and bass_blend (was G) onto the float64 port
+        # chain's answers (C) on BOTH the f32 and bf16 paths; repo == port
+        # is asserted per variant by test_key_chain_characterization.py, so
+        # these values are port-backed, not just historical.
+        ({"enable_key_multi_scale": True, "key_multi_scale_lengths": (60, 120)}, "C"),
+        ({"enable_key_hpcp_bass_blend": True}, "C"),
         ({"enable_key_edge_trim": True}, "G"),
     ],
 )
