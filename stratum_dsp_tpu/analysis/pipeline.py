@@ -499,11 +499,31 @@ def analyze_batch_arrays(
             bpm, onset_seconds, onsets_valid & track_ok[:, None],
             phase_nov, n_valid, frame_rate, caps.max_beats,
         )
+        # drift fit: refit (anchor, interval) against matched onsets so a
+        # +-1 BPM quantization error does not shear the grid off the 70 ms
+        # alignment window over the track (grid.fit_grid_drift guards)
+        from ..features.beat.grid import fit_grid_drift
+
+        anchor, iscale = fit_grid_drift(
+            anchor, bpm, onset_seconds, onsets_valid & track_ok[:, None],
+            caps.max_beats,
+        )
+    else:
+        iscale = None
     grid = generate_beat_grid(
         bpm, bpm_confidence, onset_seconds, onsets_valid & track_ok[:, None],
         max_beats=caps.max_beats, seg_beat_cap=caps.seg_beat_cap,
-        max_segments=caps.max_segments, anchor=anchor,
+        max_segments=caps.max_segments, anchor=anchor, interval_scale=iscale,
+        fill=cfg.enable_beat_grid_fill,
     )
+    if cfg.enable_downbeat_phase_search:
+        from ..features.beat.grid import search_downbeat_phase
+
+        if "low" in curves:
+            db_nov = curves["low"] + 0.5 * curves["mid"]
+        else:
+            db_nov = curves["full"]
+        grid = search_downbeat_phase(grid, db_nov, n_valid, frame_rate)
 
     if debug_stop_after == "grid":
         return {"bpm": bpm, "stability": grid.stability}

@@ -130,6 +130,20 @@ class AnalysisConfig:
     # Set False for the reference-faithful anchor (the battery's secondary
     # reference-anchor pass pins that baseline).
     enable_beat_phase_search: bool = True
+    # Extension (default ON; False = reference convention): emit EVERY grid
+    # slot between the first and last supported beats instead of only slots
+    # with emission > 0.1 (hmm.rs:393-396). A backbeat track whose detected
+    # onsets are kicks-only otherwise gets a half-density grid (beats 2/4
+    # dropped), capping beat F-measure at ~0.5 with a correct tempo+phase.
+    # Unsupported slots keep their (low) emission-based confidence.
+    enable_beat_grid_fill: bool = True
+    # Extension (default ON; False = reference convention): choose the bar
+    # phase (which beat is the downbeat) by scoring the beats_per_bar
+    # candidate rotations against low-band novelty at the marked beats,
+    # instead of unconditionally calling the FIRST tracked beat a downbeat
+    # (mod.rs:363-404). The reference has no accent model, so its bar phase
+    # is arbitrary whenever the track does not start exactly on a downbeat.
+    enable_downbeat_phase_search: bool = True
     # Extension (default OFF for parity): accumulate the multi-res triplet
     # beat-contrast grid at FLOAT period resolution instead of the
     # reference's integer-frame comb (multi_resolution.rs:580-604), whose

@@ -167,7 +167,158 @@ def search_phase_anchor(
     return jnp.where(snap_d < interval * 0.25, snap_t, anchor)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def search_downbeat_phase(
+    grid: "BeatGridTensor",
+    novelty: jax.Array,
+    novelty_n: jax.Array,
+    frame_rate: float,
+) -> "BeatGridTensor":
+    """Re-phase the downbeats by accent evidence (extension, config
+    ``enable_downbeat_phase_search``; no reference counterpart — the
+    reference's first-tracked-beat-is-a-downbeat convention, mod.rs:363-404,
+    leaves the bar phase arbitrary). Scores every rotation r <
+    beats_per_bar of the compacted beat list by mean 3-tap-max low-band
+    novelty at the candidate downbeats (bar-start accents carry more
+    low-band energy) and rebuilds the downbeat prefix at the winning
+    rotation, with an epsilon preference for the reference's r=0."""
+    from . import time_signature as ts
+
+    bt, bvalid = grid.beat_times, grid.beat_valid
+    b, n = bt.shape
+    bpb = jnp.asarray(ts.BEATS_PER_BAR)[grid.time_signature]  # [B]
+    max_bpb = int(max(ts.BEATS_PER_BAR))
+
+    nmax = jnp.maximum(
+        novelty,
+        jnp.maximum(
+            jnp.concatenate([novelty[:, 1:], novelty[:, :1] * 0.0], axis=-1),
+            jnp.concatenate([novelty[:, :1] * 0.0, novelty[:, :-1]], axis=-1),
+        ),
+    )
+    fidx = jnp.round(bt * frame_rate).astype(jnp.int32)
+    in_r = bvalid & (fidx >= 0) & (fidx < novelty_n[:, None])
+    vals = jnp.take_along_axis(
+        nmax, jnp.clip(fidx, 0, novelty.shape[-1] - 1), axis=-1
+    )
+    vals = jnp.where(in_r, vals, 0.0)  # [B, N]
+
+    i = jnp.arange(n)
+    scores = []
+    for r in range(max_bpb):
+        m = in_r & (jnp.mod(i[None, :] - r, bpb[:, None]) == 0)
+        s = jnp.sum(jnp.where(m, vals, 0.0), axis=-1) / jnp.maximum(
+            jnp.sum(m, axis=-1).astype(jnp.float32), 1.0
+        )
+        scores.append(jnp.where(r < bpb, s, -1.0))
+    sc = jnp.stack(scores, axis=-1)  # [B, max_bpb]
+    sc = sc.at[:, 0].mul(1.0 + 1e-4)  # flat-tie: keep the reference phase
+    best_r = jnp.argmax(sc, axis=-1)  # [B]
+
+    db_mask = bvalid & (jnp.mod(i[None, :] - best_r[:, None], bpb[:, None]) == 0)
+    db_key = jnp.where(db_mask, bt, BIG)
+    db_sorted = jnp.sort(db_key, axis=-1)
+    db_valid = db_sorted < BIG * 0.5
+    db_times = jnp.where(db_valid, db_sorted, 0.0)
+    return grid._replace(
+        downbeat_times=jnp.where(grid.ok[:, None], db_times, 0.0),
+        downbeat_valid=db_valid & grid.ok[:, None],
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def fit_grid_drift(
+    anchor: jax.Array,
+    bpm: jax.Array,
+    onset_times: jax.Array,
+    onset_valid: jax.Array,
+    max_beats: int,
+    n_iter: int = 4,
+):
+    """Weighted least-squares refit of (anchor, interval) against matched
+    onsets. Returns (anchor', interval_scale') with interval' =
+    (60/bpm) * interval_scale'.
+
+    A +-1 BPM estimate error (inside the product's +-2 tolerance) drifts a
+    rigid nominal grid by ~9 ms per beat — past the 70 ms beat F-measure
+    window within ~8 s — so grid accuracy was capped by BPM quantization,
+    not by tracking (battery: swing family F 0.46 with exact-family BPM).
+    Each iteration matches every k-th grid beat to its nearest onset within
+    0.12 interval and solves the weighted regression o_k ~= a + k*I.
+    Guards: >= 16 matches and a fitted interval within 2% of nominal, else
+    the inputs pass through unchanged (e.g. sparse or offbeat-dense onset
+    lists). Extension (no reference counterpart: the reference's grid uses
+    the nominal interval from the BPM estimate, hmm.rs:247-249, 404-409).
+    """
+    k_on = onset_times.shape[-1]
+    o_sorted = jnp.where(onset_valid, onset_times, 1e9)
+    n_on = jnp.sum(onset_valid, axis=-1)
+    interval0 = 60.0 / jnp.maximum(bpm, EPSILON)
+    k = jnp.arange(max_beats, dtype=jnp.float32)
+
+    def nearest(a_row, o_row, nv):
+        i = jnp.searchsorted(o_row, a_row)
+        lo = jnp.clip(i - 1, 0, k_on - 1)
+        hi = jnp.clip(i, 0, k_on - 1)
+        d_lo = jnp.where(i > 0, jnp.abs(a_row - o_row[lo]), 1e9)
+        d_hi = jnp.where(i < nv, jnp.abs(a_row - o_row[hi]), 1e9)
+        t = jnp.where(d_lo <= d_hi, o_row[lo], o_row[hi])
+        return t, jnp.minimum(d_lo, d_hi)
+
+    # Robust median fit, NOT least squares: when the estimate is ~1 BPM off,
+    # late grid beats drift onto a parallel event lattice (e.g. swing hats
+    # at 0.6·I), and an LS slope over the mixed matches splits the
+    # difference. Both lattices share the TRUE spacing, so the MEDIAN of
+    # adjacent matched-onset diffs recovers the interval regardless of
+    # which lattice each beat matched; the anchor is then the median
+    # residual (majority lattice wins). The match window anneals as the
+    # interval converges, shedding the wrong-lattice matches.
+    from ...ops import masked
+
+    a = anchor
+    scale = jnp.ones_like(anchor)
+    # four gently-annealing windows: on mixed-lattice content (swing) the
+    # anchor median needs two mid-width passes to settle on the majority
+    # lattice before the tight windows shed the wrong one (measured: 2
+    # iterations or STRIDED slots lose the swing family's rescue). The fit
+    # runs on the first 256 slots — dense slots are what annealing needs;
+    # 256 beats span 90-180 s at production tempos, and the matching
+    # searchsorted is the fit's whole device cost (22 -> ~6 ms/batch).
+    windows = (0.12, 0.10, 0.07, 0.05)
+    k = k[: min(max_beats, 256)]
+    for it in range(n_iter):
+        interval = interval0 * scale
+        grid = a[:, None] + k[None, :] * interval[:, None]  # [B, MB]
+        o, d = jax.vmap(nearest)(grid, o_sorted, n_on)
+        win = windows[min(it, len(windows) - 1)]
+        w = d < win * interval[:, None]
+        # consecutive MATCHED slots (arbitrary gap, e.g. a backbeat grid
+        # only matches onsets every other beat): compact matches to a
+        # prefix, slope = onset diff / slot gap, gaps capped at 4 beats
+        ordidx = jnp.argsort(~w, axis=-1, stable=True)
+        o_c = jnp.take_along_axis(o, ordidx, axis=-1)
+        k_c = jnp.take_along_axis(
+            jnp.broadcast_to(k[None, :], o.shape), ordidx, axis=-1
+        )
+        n_m = jnp.sum(w, axis=-1)
+        gap = k_c[:, 1:] - k_c[:, :-1]
+        slope = (o_c[:, 1:] - o_c[:, :-1]) / jnp.maximum(gap, 1.0)
+        pair_ok = (
+            (jnp.arange(o.shape[-1] - 1)[None, :] < (n_m - 1)[:, None])
+            & (gap >= 1.0) & (gap <= 4.0)
+        )
+        i_fit = masked.masked_median(slope, pair_ok)  # [B]
+        rel = i_fit / jnp.maximum(interval0, EPSILON)
+        # >= 8 adjacent matched pairs and a fitted interval within 2% of
+        # nominal, else pass through unchanged (sparse/offbeat onset lists)
+        ok = (jnp.sum(pair_ok, axis=-1) >= 8) & (jnp.abs(rel - 1.0) < 0.02)
+        r = o - k[None, :] * (interval0 * jnp.where(ok, rel, scale))[:, None]
+        a_fit = masked.masked_median(r, w)
+        a = jnp.where(ok, a_fit, a)
+        scale = jnp.where(ok, rel, scale)
+    return a, scale
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 9))
 def generate_beat_grid(
     bpm: jax.Array,
     bpm_confidence: jax.Array,
@@ -177,6 +328,8 @@ def generate_beat_grid(
     seg_beat_cap: int = 64,
     max_segments: int = 48,
     anchor: jax.Array | None = None,
+    interval_scale: jax.Array | None = None,
+    fill: bool = False,
 ) -> BeatGridTensor:
     """Full grid generation for a batch (mod.rs:108-250).
 
@@ -188,7 +341,7 @@ def generate_beat_grid(
     ok = (bpm > 0.0) & (bpm <= 300.0) & (n_onsets >= 1)
 
     beats, _states = hmm.track_beats(
-        bpm, onset_times, onset_valid, max_beats, anchor
+        bpm, onset_times, onset_valid, max_beats, anchor, interval_scale, fill
     )
     any_beats = jnp.any(beats.valid, axis=-1)
     ok = ok & any_beats

@@ -77,13 +77,15 @@ def nearest_onset_distance(query_times: jax.Array, onset_times: jax.Array, onset
     return jax.vmap(per_row)(query_times, sorted_onsets, n_valid)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 6))
 def track_beats(
     bpm: jax.Array,
     onset_times: jax.Array,
     onset_valid: jax.Array,
     max_beats: int,
     anchor: jax.Array | None = None,
+    interval_scale: jax.Array | None = None,
+    fill: bool = False,
 ):
     """Track beats for a batch. Returns (BeatTensor, states [B, MB] int32).
 
@@ -104,6 +106,10 @@ def track_beats(
 
     safe_bpm = jnp.where(ok, bpm, 120.0)
     beat_interval = 60.0 / safe_bpm  # [B]
+    if interval_scale is not None:
+        # drift-fitted interval (grid.fit_grid_drift): bounded within 2% of
+        # nominal, so num_frames/emission logic is unaffected structurally
+        beat_interval = beat_interval * interval_scale
     start = jnp.min(jnp.where(onset_valid, onset_times, BIG), axis=-1)
     end = jnp.max(jnp.where(onset_valid, onset_times, -BIG), axis=-1)
     if anchor is not None:
@@ -154,7 +160,20 @@ def track_beats(
             [jnp.flip(jnp.moveaxis(rev_states, 0, 1), axis=1), final_state[:, None]], axis=1
         )  # [B, MB]
 
-    is_beat = frame_valid & (emission > EMISSION_THRESHOLD)
+    supported = frame_valid & (emission > EMISSION_THRESHOLD)
+    if fill:
+        # grid fill (config enable_beat_grid_fill): keep every slot between
+        # the first and last SUPPORTED beats — the tempo+phase lattice is
+        # already fixed, and dropping unsupported interior slots only
+        # punches holes in an otherwise-correct grid
+        slot = jnp.arange(max_beats)
+        first_sup = jnp.min(jnp.where(supported, slot[None, :], max_beats), axis=-1)
+        last_sup = jnp.max(jnp.where(supported, slot[None, :], -1), axis=-1)
+        is_beat = frame_valid & (slot[None, :] >= first_sup[:, None]) & (
+            slot[None, :] <= last_sup[:, None]
+        )
+    else:
+        is_beat = supported
     align = jnp.where(dist < TIMING_TOLERANCE_S, 1.0 - dist / TIMING_TOLERANCE_S, 0.0)
     conf = jnp.minimum(0.7 * emission + 0.3 * align, 1.0)
 

@@ -75,12 +75,17 @@ def test_battery_subset_exact(battery_results, idx):
 # accumulates linear phase drift across a rigid nominal grid (documented
 # honest weakness, not a regression target).
 BEAT_FLOORS = {
-    "plain_95bpm": 0.90,
-    "sweepA_128bpm_offbeat": 0.90,
-    "sweepB_120bpm_backbeat": 0.90,
-    "triplet_120bpm": 0.90,
-    "sixteenth_92bpm": 0.90,
-    "intro_quiet_128bpm": 0.85,
+    # name: (beat F floor, downbeat F floor or None)
+    "plain_95bpm": (0.90, 0.85),
+    "sweepA_128bpm_offbeat": (0.90, 0.85),
+    "sweepB_120bpm_backbeat": (0.90, 0.85),
+    "triplet_120bpm": (0.90, 0.85),
+    "sixteenth_92bpm": (0.90, 0.85),
+    # swing's bar-phase margin is thin (kick accents 1.0 vs 0.85 on every
+    # beat), and the rotation choice flips with compilation layout — beat
+    # floor only
+    "swing60_110bpm": (0.90, None),
+    "intro_quiet_128bpm": (0.85, None),
 }
 
 
@@ -91,9 +96,14 @@ def test_battery_subset_beat_floor(battery_results, name):
     results, out = battery_results
     idx = [i for i, (n, _, _) in enumerate(SUBSET) if n == name][0]
     spec = {s.name: s for s in battery_specs()}[name]
-    gt_beats, _gt_down = spec.beat_ground_truth()
+    gt_beats, gt_down = spec.beat_ground_truth()
     r = results[idx]
     trim = float(np.asarray(out["trim_start_seconds"])[idx])
     pred = [t + trim for t in r.beat_grid.beats]
+    f_floor, db_floor = BEAT_FLOORS[name]
     f, _, _ = beat_f_measure(gt_beats, pred)
-    assert f >= BEAT_FLOORS[name], f"{name}: beat F {f:.3f} < {BEAT_FLOORS[name]}"
+    assert f >= f_floor, f"{name}: beat F {f:.3f} < {f_floor}"
+    if db_floor is not None:
+        pred_db = [t + trim for t in r.beat_grid.downbeats]
+        db_f, _, _ = beat_f_measure(gt_down, pred_db)
+        assert db_f >= db_floor, f"{name}: downbeat F {db_f:.3f} < {db_floor}"

@@ -332,7 +332,9 @@ def main(argv=None) -> int:
             run_validation.main(
                 [str(ra_csv), "--out", str(ra_out),
                  "--batch-size", str(args.batch_size), "--emit-beats",
-                 "--enable-beat-phase-search", "false"] + extra)
+                 "--enable-beat-phase-search", "false",
+                 "--enable-beat-grid-fill", "false",
+                 "--enable-downbeat-phase-search", "false"] + extra)
             ra_summary = score_by_family(ra_specs, ra_out)
             for fam, s in ra_summary["families"].items():
                 summary["families"][fam + "_refanchor"] = s
