@@ -309,7 +309,11 @@ def fit_grid_drift(
         i_fit = masked.masked_median(slope, pair_ok)  # [B]
         rel = i_fit / jnp.maximum(interval0, EPSILON)
         # >= 8 adjacent matched pairs and a fitted interval within 2% of
-        # nominal, else pass through unchanged (sparse/offbeat onset lists)
+        # nominal, else pass through unchanged (sparse/offbeat onset lists).
+        # A slope-MAD consistency guard was tried and REVERTED: it rejects
+        # noise-floor fits (which score ~0 either way) but also fits whose
+        # median is excellent under moderate spread (fullmix downbeat F
+        # 1.0 -> 0.38) — the median is already the robust estimator.
         ok = (jnp.sum(pair_ok, axis=-1) >= 8) & (jnp.abs(rel - 1.0) < 0.02)
         r = o - k[None, :] * (interval0 * jnp.where(ok, rel, scale))[:, None]
         a_fit = masked.masked_median(r, w)
