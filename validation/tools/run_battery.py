@@ -269,7 +269,10 @@ def main(argv=None) -> int:
                 summary["families"][fam + "_tc"] = s
 
     if args.bcf:
-        bcf_specs = [s for s in specs if s.family == "fractional"]
+        # fractional: the flag's home case; fullmix: its 2/3-syncopation
+        # misses are the same integer-comb failure mode (the float-period
+        # comb rescues fullmix_Fsm_106; fullmix_As_134 stays 2/3)
+        bcf_specs = [s for s in specs if s.family in ("fractional", "fullmix")]
         if bcf_specs:
             bcf_csv = wav_dir / "battery_bcf.csv"
             write_batch_csv(bcf_specs, wav_dir, bcf_csv)
