@@ -48,12 +48,10 @@ def _condition_chunk(spec, fvalid, cfg: AnalysisConfig, halo: int):
     """Apply the configured conditioning to an extended chunk; the caller
     slices out the central frames afterwards (lib.rs:1012-1062)."""
     # windowed_time_mean's box sums require invalid frames ZEROED (its
-    # count denominator already excludes them): the direct-DFT path leaves
-    # whatever the matmul produced in past-end frames, which polluted the
-    # mask mean for the last `margin` frames of every track (round-5 find:
-    # up to 0.98 relative error vs the float64 port at the tail; the
-    # polyphase path was unaffected only because its padding happens to be
-    # zero).
+    # count denominator already excludes them). stft_reduce zeroes them at
+    # the chunk boundary today; this re-zeroing makes the contract local so
+    # a future reducer/caller cannot silently violate it (the round-5 halo
+    # misalignment hid behind exactly this kind of implicit invariant).
     spec = jnp.where(fvalid[..., None], spec, 0.0)
     if cfg.enable_key_harmonic_mask and not cfg.enable_key_hpss_harmonic:
         return chx.harmonic_time_mask(
