@@ -269,10 +269,13 @@ def main(argv=None) -> int:
                 summary["families"][fam + "_tc"] = s
 
     if args.bcf:
-        # fractional: the flag's home case; fullmix: its 2/3-syncopation
-        # misses are the same integer-comb failure mode (the float-period
-        # comb rescues fullmix_Fsm_106; fullmix_As_134 stays 2/3)
-        bcf_specs = [s for s in specs if s.family in ("fractional", "fullmix")]
+        # fractional only. The flag was also measured on fullmix and is NET
+        # NEGATIVE there: it rescues fullmix_Fsm_106 (70.66 -> 105.98, the
+        # integer-comb drift failure) but promotes 2/3 members on two
+        # previously-correct tracks (Em_110 -> 73.33, Fm_126 -> 83.83) —
+        # the consistency penalty that protects click-like content does not
+        # separate 2/3 grids on dense polyphonic mixes.
+        bcf_specs = [s for s in specs if s.family == "fractional"]
         if bcf_specs:
             bcf_csv = wav_dir / "battery_bcf.csv"
             write_batch_csv(bcf_specs, wav_dir, bcf_csv)
