@@ -37,7 +37,8 @@ def main() -> int:
     from stratum_dsp_tpu.testing import kick_pattern_device
 
     cfg = AnalysisConfig()
-    caps = PipelineCaps()
+    chunk = int(os.environ.get("CHUNK", "0"))  # BPM-path chunk re-sweeps
+    caps = PipelineCaps(chunk_frames=chunk) if chunk else PipelineCaps()
 
     if ambig < 0:
         bpms = np.linspace(80.0, 175.0, b)

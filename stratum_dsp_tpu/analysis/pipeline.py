@@ -267,8 +267,10 @@ def analyze_batch_arrays(
         # when only a few tracks are ambiguous, gather them into a fixed-
         # capacity sub-batch before paying the hop-256 STFT+novelty pass
         # (the dominant multi-res cost — it scales linearly in batch). Tiers
-        # {B/8, B/4, B/2} keep shapes static; lax.switch picks the smallest
-        # tier that fits. The gathered pad rows (non-escalating tracks)
+        # {B/8, B/4, 3B/8, B/2} keep shapes static; lax.switch picks the
+        # smallest tier that fits (3B/8 added round 5: a 30% trap-zone mix
+        # lands at ~12/40 escalated, just past B/4 — the extra tier keeps it
+        # off the half-batch rung). The gathered pad rows (non-escalating tracks)
         # compute real results that downstream masking (mr_used requires
         # `ambiguous`) never uses.
         def tiered_escalation(samples_l, lengths_l, esc_l, pre_l):
@@ -320,7 +322,9 @@ def analyze_batch_arrays(
                 return f
 
             caps_sub = [
-                c for c in sorted({bl // 8, bl // 4, bl // 2}) if 0 < c < bl
+                c
+                for c in sorted({bl // 8, bl // 4, 3 * bl // 8, bl // 2})
+                if 0 < c < bl
             ]
             branches = [skip] + [run_sub(c) for c in caps_sub] + [run_full]
             n_esc = jnp.sum(esc_l.astype(jnp.int32))
